@@ -90,4 +90,4 @@ def test_language_codes():
     assert language_codes["english"] == "en"
     assert language_codes["cantonese"] == "yue"
     assert language_codes["traditionalchinese"] == "zh"
-    assert len(language_codes) == 100
+    assert len(language_codes) == 101
