@@ -1,0 +1,315 @@
+"""Functional JAX Whisper encoder-decoder.
+
+This is the TPU-native replacement for CTranslate2's C++ Whisper runtime
+(loaded at reference asr_core.py:141, api/file_asr.py:188) and for the
+PyTorch model used in training (train_asr.py:541-545).
+
+Design notes (TPU-first, not a torch translation):
+- Parameters are plain pytrees with **stacked layer axes** (leading dim =
+  n_layers); the forward pass is a single ``lax.scan`` over layers, which
+  keeps compile time flat in depth and gives every layer an identical
+  sharding annotation for tensor parallelism.
+- All matmuls carry an explicit ``preferred_element_type`` so bf16 weights
+  accumulate in f32 on the MXU.
+- Incremental decoding uses preallocated fixed-shape KV caches updated via
+  ``lax.dynamic_update_slice`` — no dynamic shapes anywhere, so one
+  compilation serves every decode step.
+- Cross-attention K/V are computed once per 30 s window and reused for the
+  whole token loop.
+
+Weight layout matches HF checkpoints after :mod:`ttasr.models.whisper.load`
+conversion; logits agree with ``transformers.WhisperForConditionalGeneration``
+to f32 tolerance (see tests/test_whisper_model.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttasr.models.whisper.config import WhisperConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoid table (used to init encoder positions)."""
+    assert channels % 2 == 0
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _dense_init(key, shape, scale=0.02):
+    return (jax.random.normal(key, shape) * scale).astype(jnp.float32)
+
+
+def _attn_block_init(key, n_layers, d, ffn, cross: bool):
+    ks = jax.random.split(key, 16)
+    blk = {
+        "ln1_s": jnp.ones((n_layers, d)), "ln1_b": jnp.zeros((n_layers, d)),
+        "wq": _dense_init(ks[0], (n_layers, d, d)), "bq": jnp.zeros((n_layers, d)),
+        "wk": _dense_init(ks[1], (n_layers, d, d)),
+        "wv": _dense_init(ks[2], (n_layers, d, d)), "bv": jnp.zeros((n_layers, d)),
+        "wo": _dense_init(ks[3], (n_layers, d, d)), "bo": jnp.zeros((n_layers, d)),
+        "ln2_s": jnp.ones((n_layers, d)), "ln2_b": jnp.zeros((n_layers, d)),
+        "w1": _dense_init(ks[4], (n_layers, d, ffn)), "b1": jnp.zeros((n_layers, ffn)),
+        "w2": _dense_init(ks[5], (n_layers, ffn, d)), "b2": jnp.zeros((n_layers, d)),
+    }
+    if cross:
+        blk.update({
+            "lnc_s": jnp.ones((n_layers, d)), "lnc_b": jnp.zeros((n_layers, d)),
+            "wq_c": _dense_init(ks[6], (n_layers, d, d)), "bq_c": jnp.zeros((n_layers, d)),
+            "wk_c": _dense_init(ks[7], (n_layers, d, d)),
+            "wv_c": _dense_init(ks[8], (n_layers, d, d)), "bv_c": jnp.zeros((n_layers, d)),
+            "wo_c": _dense_init(ks[9], (n_layers, d, d)), "bo_c": jnp.zeros((n_layers, d)),
+        })
+    return blk
+
+
+def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random-init parameters with HF-compatible structure."""
+    key = jax.random.PRNGKey(seed)
+    k = jax.random.split(key, 8)
+    d, ffn = cfg.d_model, cfg.ffn_dim
+    params = {
+        "encoder": {
+            "conv1_w": _dense_init(k[0], (3, cfg.num_mel_bins, d)),
+            "conv1_b": jnp.zeros((d,)),
+            "conv2_w": _dense_init(k[1], (3, d, d)),
+            "conv2_b": jnp.zeros((d,)),
+            "pos": jnp.asarray(sinusoidal_positions(cfg.max_source_positions, d)),
+            "blocks": _attn_block_init(k[2], cfg.encoder_layers, d, ffn, cross=False),
+            "ln_s": jnp.ones((d,)), "ln_b": jnp.zeros((d,)),
+        },
+        "decoder": {
+            "embed": _dense_init(k[3], (cfg.vocab_size, d)),
+            "pos": _dense_init(k[4], (cfg.max_target_positions, d)),
+            "blocks": _attn_block_init(k[5], cfg.decoder_layers, d, ffn, cross=True),
+            "ln_s": jnp.ones((d,)), "ln_b": jnp.zeros((d,)),
+        },
+    }
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+def _ln(x, scale, bias, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(x.dtype)
+
+
+def _proj(x, w, b=None):
+    out = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _split_heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def _merge_heads(x):
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def _attention(q, k, v, mask=None):
+    """q,k,v: (B, T, H, Dh). mask: broadcastable to (B, H, Tq, Tk)."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out
+
+
+def _self_attn(x, blk, n_heads, mask=None):
+    q = _split_heads(_proj(x, blk["wq"], blk["bq"]), n_heads)
+    k = _split_heads(_proj(x, blk["wk"]), n_heads)
+    v = _split_heads(_proj(x, blk["wv"], blk["bv"]), n_heads)
+    out = _attention(q, k, v, mask)
+    return _proj(_merge_heads(out), blk["wo"], blk["bo"])
+
+
+def _mlp(x, blk):
+    h = jax.nn.gelu(_proj(x, blk["w1"], blk["b1"]), approximate=False)
+    return _proj(h, blk["w2"], blk["b2"])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False):
+    """mel: (B, n_mels, 3000) -> hidden states (B, 1500, d_model)."""
+    enc = params["encoder"]
+    x = jnp.swapaxes(mel, 1, 2)  # NWC
+    dtype = enc["conv1_w"].dtype
+    x = x.astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1_w"], window_strides=(1,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + enc["conv1_b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"], window_strides=(2,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype) + enc["conv2_b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x + enc["pos"].astype(x.dtype)
+
+    def block(x, blk):
+        x = x + _self_attn(_ln(x, blk["ln1_s"], blk["ln1_b"]), blk, cfg.encoder_heads)
+        x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        return x, None
+
+    body = jax.checkpoint(block) if remat else block
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    return _ln(x, enc["ln_s"], enc["ln_b"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder — teacher-forced (training / prompt prefill)
+# ---------------------------------------------------------------------------
+
+def decode_train(params: Params, cfg: WhisperConfig, tokens, enc_out, *,
+                 remat: bool = False, positions_offset: int = 0):
+    """Full-sequence decoder pass. tokens: (B, T) int32 -> logits (B, T, V)."""
+    dec = params["decoder"]
+    b, t = tokens.shape
+    x = dec["embed"][tokens] + dec["pos"][positions_offset : positions_offset + t]
+    x = x.astype(dec["embed"].dtype)
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+
+    def block(x, blk):
+        x = x + _self_attn(
+            _ln(x, blk["ln1_s"], blk["ln1_b"]), blk, cfg.decoder_heads, causal
+        )
+        h = _ln(x, blk["lnc_s"], blk["lnc_b"])
+        q = _split_heads(_proj(h, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
+        k = _split_heads(_proj(enc_out, blk["wk_c"]), cfg.decoder_heads)
+        v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), cfg.decoder_heads)
+        x = x + _proj(_merge_heads(_attention(q, k, v)), blk["wo_c"], blk["bo_c"])
+        x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        return x, None
+
+    body = jax.checkpoint(block) if remat else block
+    x, _ = jax.lax.scan(body, x, dec["blocks"])
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.matmul(x, dec["embed"].T.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Decoder — incremental with KV cache
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DecodeCache:
+    """Fixed-shape KV cache pytree for incremental decoding."""
+    k: jnp.ndarray  # (L, B, max_len, H, Dh)
+    v: jnp.ndarray
+    cross_k: jnp.ndarray  # (L, B, src_len, H, Dh)
+    cross_v: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    DecodeCache, data_fields=["k", "v", "cross_k", "cross_v"], meta_fields=[]
+)
+
+
+def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int) -> DecodeCache:
+    """Allocate self-attn cache and precompute cross-attn K/V per layer."""
+    dec = params["decoder"]
+    b = enc_out.shape[0]
+    h, dh = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
+    dtype = enc_out.dtype
+
+    def cross_kv(blk):
+        k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
+        v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h)
+        return k, v
+
+    ck, cv = jax.vmap(cross_kv, in_axes=(0,))(dec["blocks"])
+    shape = (cfg.decoder_layers, b, max_len, h, dh)
+    return DecodeCache(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), cross_k=ck, cross_v=cv
+    )
+
+
+def decode_step(params: Params, cfg: WhisperConfig, tokens, pos, cache: DecodeCache,
+                ) -> Tuple[jnp.ndarray, DecodeCache]:
+    """One incremental decode step.
+
+    tokens: (B, T_new) — usually T_new=1; T_new>1 prefills a prompt.
+    pos: scalar int32, index of the first new token.
+    Returns (logits (B, T_new, V), updated cache).
+    """
+    dec = params["decoder"]
+    b, t_new = tokens.shape
+    max_len = cache.k.shape[2]
+    x = dec["embed"][tokens] + jax.lax.dynamic_slice_in_dim(
+        dec["pos"], pos, t_new, axis=0
+    )
+    x = x.astype(dec["embed"].dtype)
+
+    # Mask over cache positions: key j visible to query i when j <= pos + i.
+    q_ids = pos + jnp.arange(t_new)[:, None]
+    k_ids = jnp.arange(max_len)[None, :]
+    mask = (k_ids <= q_ids)[None, None]  # (1,1,T_new,max_len)
+
+    def scan_block(x, scanned):
+        blk, k_cache, v_cache, ck, cv = scanned
+        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q = _split_heads(_proj(h, blk["wq"], blk["bq"]), cfg.decoder_heads)
+        k_new = _split_heads(_proj(h, blk["wk"]), cfg.decoder_heads)
+        v_new = _split_heads(_proj(h, blk["wv"], blk["bv"]), cfg.decoder_heads)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos, axis=1)
+        attn = _attention(q, k_cache, v_cache, mask)
+        x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
+
+        hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
+        qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
+        cross = _attention(qc, ck, cv)
+        x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
+        x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
+    )
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.matmul(x, dec["embed"].T.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
+def forward(params: Params, cfg: WhisperConfig, mel, tokens, *, remat: bool = False):
+    """Convenience: full encoder + teacher-forced decoder -> logits."""
+    enc_out = encode(params, cfg, mel, remat=remat)
+    return decode_train(params, cfg, tokens, enc_out, remat=remat)
