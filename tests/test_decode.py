@@ -1,0 +1,209 @@
+"""Decoding tests: timestamp rules vs HF's WhisperTimeStampLogitsProcessor,
+greedy/beam behavior, prompt padding invariance."""
+
+import numpy as np
+import pytest
+
+from ttasr.models.whisper import encode, params_from_hf_model
+from ttasr.models.whisper.decode import (
+    DecodingOptions,
+    TokenizerInfo,
+    beam_decode,
+    build_prompt,
+    compression_ratio,
+    greedy_decode,
+    pad_prompts,
+)
+from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+TOK = build_byte_fallback_tokenizer()
+VOCAB = TOK.vocab_size
+
+
+@pytest.fixture(scope="module")
+def model():
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(1)
+    hf_cfg = HFConfig(
+        vocab_size=VOCAB, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=64, max_target_positions=448,
+        dropout=0.0, pad_token_id=TOK.eot, bos_token_id=TOK.eot,
+        eos_token_id=TOK.eot, decoder_start_token_id=TOK.sot,
+    )
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    params, cfg = params_from_hf_model(hf)
+    return hf, params, cfg
+
+
+@pytest.fixture(scope="module")
+def enc_out(model):
+    _, params, cfg = model
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, 128)).astype(np.float32) * 0.4
+    return mel, encode(params, cfg, mel)
+
+
+def _ti():
+    return TokenizerInfo.from_tokenizer(TOK, n_vocab=VOCAB)
+
+
+def _run_greedy(params, cfg, enc, prompt_ids, sample_len=24, temperature=0.0,
+                without_timestamps=False):
+    import jax
+
+    opts = DecodingOptions(
+        temperature=temperature, sample_len=sample_len,
+        without_timestamps=without_timestamps,
+    )
+    prompt, pad = pad_prompts([prompt_ids], TOK.eot)
+    out = greedy_decode(
+        params, cfg, enc, prompt, pad, jax.random.PRNGKey(0),
+        opts=opts, ti=_ti(),
+    )
+    n = int(out["lengths"][0])
+    return [int(t) for t in np.asarray(out["tokens"][0])[:n]], out
+
+
+def test_greedy_matches_hf_timestamp_processor(model, enc_out):
+    """Manual torch greedy with HF's timestamp processor + the same static
+    suppress mask must produce the identical token sequence."""
+    import torch
+    from transformers.generation.logits_process import (
+        WhisperTimeStampLogitsProcessor,
+    )
+
+    hf, params, cfg = model
+    mel, enc = enc_out
+    ti = _ti()
+    prompt_ids = TOK.sot_sequence("zh", "transcribe", predict_timestamps=True)
+
+    class GenCfg:
+        eos_token_id = TOK.eot
+        no_timestamps_token_id = TOK.no_timestamps
+        max_initial_timestamp_index = 50
+        _detect_timestamp_from_logprob = True
+
+    proc = WhisperTimeStampLogitsProcessor(GenCfg(), begin_index=len(prompt_ids))
+
+    from ttasr.models.whisper.decode import _static_suppress_mask
+
+    static_mask = torch.from_numpy(np.asarray(_static_suppress_mask(ti)))
+    blank_ids = TOK.encode(" ") + [TOK.eot]
+
+    tokens = torch.tensor([prompt_ids], dtype=torch.long)
+    golden = []
+    with torch.no_grad():
+        enc_t = hf.model.encoder(torch.from_numpy(mel)).last_hidden_state
+        for step in range(24):
+            logits = hf(
+                decoder_input_ids=tokens, encoder_outputs=(enc_t,)
+            ).logits[:, -1].float()
+            logits = logits + static_mask
+            if step == 0:
+                logits[:, blank_ids] = float("-inf")
+            logits = proc(tokens, logits)
+            nxt = int(torch.argmax(logits, dim=-1))
+            if nxt == TOK.eot:
+                break
+            golden.append(nxt)
+            tokens = torch.cat([tokens, torch.tensor([[nxt]])], dim=1)
+
+    ours, _ = _run_greedy(params, cfg, enc, prompt_ids, sample_len=24)
+    assert ours == golden, f"{ours} != {golden}"
+
+
+def test_greedy_timestamp_structure(model, enc_out):
+    _, params, cfg = model
+    _, enc = enc_out
+    prompt_ids = TOK.sot_sequence("zh", predict_timestamps=True)
+    toks, _ = _run_greedy(params, cfg, enc, prompt_ids, sample_len=32)
+    assert len(toks) > 0
+    # first sampled token must be a timestamp <= <|1.00|>
+    assert TOK.is_timestamp(toks[0])
+    assert toks[0] <= TOK.timestamp_begin + 50
+    # timestamps must be monotonically non-decreasing
+    ts = [t for t in toks if TOK.is_timestamp(t)]
+    assert ts == sorted(ts)
+    # none of the static suppress list appears
+    assert not (set(toks) & set(_ti().suppress))
+
+
+def test_without_timestamps_mode(model, enc_out):
+    _, params, cfg = model
+    _, enc = enc_out
+    prompt_ids = TOK.sot_sequence("zh", predict_timestamps=False)
+    toks, _ = _run_greedy(
+        params, cfg, enc, prompt_ids, sample_len=16, without_timestamps=True
+    )
+    assert all(not TOK.is_timestamp(t) for t in toks)
+
+
+def test_prompt_padding_invariance(model, enc_out):
+    """The left-padded prompt buffer must behave identically regardless of
+    junk in the padding region."""
+    _, params, cfg = model
+    _, enc = enc_out
+    import jax
+
+    prompt_ids = TOK.sot_sequence("zh", predict_timestamps=True)
+    opts = DecodingOptions(sample_len=12)
+    p1, pad1 = pad_prompts([prompt_ids], TOK.eot)
+    p2 = p1.copy()
+    p2[0, : pad1[0]] = 7  # different pad garbage
+    o1 = greedy_decode(params, cfg, enc, p1, pad1, jax.random.PRNGKey(0),
+                       opts=opts, ti=_ti())
+    o2 = greedy_decode(params, cfg, enc, p2, pad1, jax.random.PRNGKey(0),
+                       opts=opts, ti=_ti())
+    np.testing.assert_array_equal(np.asarray(o1["tokens"]), np.asarray(o2["tokens"]))
+
+
+def test_conditioning_changes_prompt(model, enc_out):
+    prev = TOK.encode("previous window text")
+    prompt = build_prompt(TOK, language="zh", previous_tokens=prev)
+    assert prompt[0] == TOK.sot_prev
+    assert prompt[-3:] == TOK.sot_sequence("zh", predict_timestamps=True)
+    bare = build_prompt(TOK, language="zh")
+    assert bare == TOK.sot_sequence("zh", predict_timestamps=True)
+
+
+def test_beam_size_one_matches_greedy(model, enc_out):
+    _, params, cfg = model
+    _, enc = enc_out
+    import jax
+
+    prompt_ids = TOK.sot_sequence("zh", predict_timestamps=True)
+    prompt, pad = pad_prompts([prompt_ids], TOK.eot)
+    g = greedy_decode(params, cfg, enc, prompt, pad, jax.random.PRNGKey(0),
+                      opts=DecodingOptions(sample_len=16), ti=_ti())
+    b = beam_decode(params, cfg, enc, prompt, pad, jax.random.PRNGKey(0),
+                    opts=DecodingOptions(sample_len=16, beam_size=1), ti=_ti())
+    ng, nb = int(g["lengths"][0]), int(b["lengths"][0])
+    assert np.asarray(g["tokens"])[0, :ng].tolist() == \
+        np.asarray(b["tokens"])[0, :nb].tolist()
+
+
+def test_beam_search_runs_and_is_no_worse(model, enc_out):
+    _, params, cfg = model
+    _, enc = enc_out
+    import jax
+
+    prompt_ids = TOK.sot_sequence("zh", predict_timestamps=True)
+    prompt, pad = pad_prompts([prompt_ids], TOK.eot)
+    g = greedy_decode(params, cfg, enc, prompt, pad, jax.random.PRNGKey(0),
+                      opts=DecodingOptions(sample_len=16), ti=_ti())
+    b = beam_decode(params, cfg, enc, prompt, pad, jax.random.PRNGKey(0),
+                    opts=DecodingOptions(sample_len=16, beam_size=3), ti=_ti())
+    # beam search maximizes sum logprob; must be >= greedy's (same rules)
+    assert float(b["sum_logprob"][0]) >= float(g["sum_logprob"][0]) - 1e-4
+
+
+def test_compression_ratio():
+    assert compression_ratio("aaaaaaaaaaaaaaaaaaaaaaaaaaaa") > 2.0
+    assert compression_ratio("the quick brown fox") < 1.5
+    assert compression_ratio("") == 0.0

@@ -1,0 +1,610 @@
+"""Whisper decoding: greedy and beam search with CT2-parity logit rules.
+
+This replaces CTranslate2's C++ beam-search decoder (the engine behind
+``WhisperModel.transcribe`` at reference asr_core.py:159, with
+``beam_size=5, condition_on_previous_text=True``).  Everything here is
+TPU-idiomatic: fixed shapes, one compiled prefill and one compiled step
+per (batch, beam) configuration, ``lax.while_loop`` token loops, and
+logit rules expressed as vectorized masks (no per-token Python).
+
+Implemented rule set (semantics of openai-whisper / faster-whisper):
+- static suppress list (non-speech tokens + control specials),
+- SuppressBlank at the first sampled position,
+- ApplyTimestampRules: pairing, monotonicity, ``max_initial_timestamp``,
+  and the "timestamp probability mass exceeds max text prob" rule,
+- temperature 0 argmax / categorical sampling at t>0,
+- beam search with per-audio finished-sequence bookkeeping and
+  GoogleNMT-style length penalty (faster-whisper ``length_penalty=1.0``).
+
+Prompt handling uses a fixed-size left-padded prompt buffer so that
+``condition_on_previous_text`` (varying prompt lengths) never triggers
+recompilation: pad tokens are masked out of attention and position
+embeddings are shifted by the pad count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from functools import partial
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ttasr.models.whisper.config import WhisperConfig
+from ttasr.models.whisper.model import (
+    DecodeCache,
+    _attention,
+    _ln,
+    _merge_heads,
+    _mlp,
+    _proj,
+    _split_heads,
+    init_cache,
+)
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+# Fixed shapes: one compilation serves every prompt/condition combination.
+MAX_PROMPT = 256   # left-padded prompt buffer
+SAMPLE_LEN = 224   # max new tokens per window (n_ctx // 2)
+MAX_TOTAL = MAX_PROMPT + SAMPLE_LEN
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodingOptions:
+    """Static decode configuration (hashable: used as a jit static arg)."""
+
+    beam_size: int = 5
+    temperature: float = 0.0
+    length_penalty: float = 1.0
+    patience: float = 1.0
+    without_timestamps: bool = False
+    max_initial_timestamp: float = 1.0
+    suppress_blank: bool = True
+    sample_len: int = SAMPLE_LEN
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenizerInfo:
+    """The token ids decoding needs (hashable, static under jit)."""
+
+    eot: int
+    sot: int
+    no_timestamps: int
+    timestamp_begin: int
+    no_speech: Optional[int]
+    blank: Tuple[int, ...]          # ids of " " (for SuppressBlank)
+    suppress: Tuple[int, ...]       # static suppress list
+    n_vocab: int
+
+    @classmethod
+    def from_tokenizer(cls, tok, n_vocab: Optional[int] = None) -> "TokenizerInfo":
+        return cls(
+            eot=tok.eot,
+            sot=tok.sot,
+            no_timestamps=tok.no_timestamps,
+            timestamp_begin=tok.timestamp_begin,
+            no_speech=tok.no_speech,
+            blank=tuple(tok.encode(" ")),
+            suppress=tuple(tok.suppress_tokens_default()),
+            n_vocab=n_vocab or tok.vocab_size,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Prefill with left-padded prompt
+# ---------------------------------------------------------------------------
+
+def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
+    """Teacher-forced pass over the fixed-size prompt buffer.
+
+    tokens: (B, MAX_PROMPT) int32, left-padded; real tokens occupy
+    positions ``pad_len..MAX_PROMPT-1`` and get positional indices
+    ``0..real-1``.  pad_len: (B,) int32.
+    Returns (logits (B, MAX_PROMPT, V), cache).
+    """
+    dec = params["decoder"]
+    b, t = tokens.shape
+    pos_ids = jnp.maximum(jnp.arange(t)[None, :] - pad_len[:, None], 0)
+    x = dec["embed"][tokens] + dec["pos"][pos_ids]
+    x = x.astype(dec["embed"].dtype)
+
+    q_ids = jnp.arange(t)[None, :, None]       # (1, T, 1) global slot of query
+    k_ids = jnp.arange(t)[None, None, :]       # (1, 1, T) global slot of key
+    valid = k_ids >= pad_len[:, None, None]    # pad slots never attend
+    causal = k_ids <= q_ids
+    mask = (causal & valid)[:, None]           # (B, 1, T, T)
+
+    def scan_block(x, scanned):
+        blk, k_cache, v_cache, ck, cv = scanned
+        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q = _split_heads(_proj(h, blk["wq"], blk["bq"]), cfg.decoder_heads)
+        k_new = _split_heads(_proj(h, blk["wk"]), cfg.decoder_heads)
+        v_new = _split_heads(_proj(h, blk["wv"], blk["bv"]), cfg.decoder_heads)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, 0, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
+        attn = _attention(q, k_new, v_new, mask)
+        x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
+        hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
+        qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
+        x = x + _proj(_merge_heads(_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
+        x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
+    )
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.matmul(x, dec["embed"].T.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
+def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
+    """Single-token decode at global cache slot ``slot`` (scalar int32).
+
+    token: (B, 1).  pad_len: (B,) — pad slots stay masked out.
+    """
+    dec = params["decoder"]
+    b = token.shape[0]
+    max_len = cache.k.shape[2]
+    pos = jnp.maximum(slot - pad_len, 0)       # (B,) real positional index
+    x = dec["embed"][token] + dec["pos"][pos][:, None, :]
+    x = x.astype(dec["embed"].dtype)
+
+    k_ids = jnp.arange(max_len)[None, :]
+    mask = ((k_ids <= slot) & (k_ids >= pad_len[:, None]))[:, None, None]  # (B,1,1,T)
+
+    def scan_block(x, scanned):
+        blk, k_cache, v_cache, ck, cv = scanned
+        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q = _split_heads(_proj(h, blk["wq"], blk["bq"]), cfg.decoder_heads)
+        k_new = _split_heads(_proj(h, blk["wk"]), cfg.decoder_heads)
+        v_new = _split_heads(_proj(h, blk["wv"], blk["bv"]), cfg.decoder_heads)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, slot, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, slot, axis=1)
+        attn = _attention(q, k_cache, v_cache, mask)
+        x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
+        hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
+        qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
+        x = x + _proj(_merge_heads(_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
+        x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
+    )
+    x = _ln(x, dec["ln_s"], dec["ln_b"])
+    logits = jnp.matmul(x[:, 0], dec["embed"].T.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
+# ---------------------------------------------------------------------------
+# Logit rules
+# ---------------------------------------------------------------------------
+
+def _static_suppress_mask(ti: TokenizerInfo) -> np.ndarray:
+    mask = np.zeros((ti.n_vocab,), dtype=np.float32)
+    for t in ti.suppress:
+        if 0 <= t < ti.n_vocab:
+            mask[t] = NEG_INF
+    mask[ti.no_timestamps] = NEG_INF
+    return mask
+
+
+def _apply_rules(logits, *, ti: TokenizerInfo, opts: DecodingOptions,
+                 static_mask, n_sampled, last_tok, penult_tok, max_ts_tok):
+    """Vectorized logit rules. logits: (N, V) f32. Scalars are per-row (N,)."""
+    v = ti.n_vocab
+    ids = jnp.arange(v)[None, :]
+    logits = logits + static_mask[None, :]
+
+    if opts.suppress_blank:
+        blank_ids = jnp.asarray(list(ti.blank) + [ti.eot])
+        blank_mask = jnp.where(
+            jnp.isin(ids, blank_ids), NEG_INF, 0.0
+        )
+        logits = logits + jnp.where((n_sampled == 0)[:, None], blank_mask, 0.0)
+
+    ts0 = ti.timestamp_begin
+    if opts.without_timestamps:
+        # timestamps fully disabled
+        return logits + jnp.where(ids >= ts0, NEG_INF, 0.0)
+
+    is_ts = ids >= ts0
+    last_is_ts = last_tok >= ts0
+    penult_is_ts = penult_tok >= ts0
+    # pairing rules (active once at least one token sampled)
+    active = n_sampled > 0
+    # last was ts, penult was ts -> next cannot be a timestamp
+    rule_a = (active & last_is_ts & ((n_sampled < 2) | penult_is_ts))[:, None] & is_ts
+    # wait: when n_sampled == 1 and last is ts, next must be text?  openai:
+    # penultimate_was_timestamp = (len < 2) or tokens[-2] >= ts0 -> mask timestamps.
+    # last was ts, penult NOT ts -> next must be ts or eot
+    rule_b = (active & last_is_ts & (n_sampled >= 2) & (~penult_is_ts))[:, None] & (
+        (~is_ts) & (ids != ti.eot)
+    )
+    logits = jnp.where(rule_a | rule_b, NEG_INF, logits)
+
+    # monotonicity: next timestamp >= last (strictly greater after a paired
+    # segment-end timestamp; equality allowed after an unpaired start — the
+    # openai "timestamp_last" rule).
+    unpaired_last = active & last_is_ts & (n_sampled >= 2) & (~penult_is_ts)
+    floor = jnp.maximum(max_ts_tok + jnp.where(unpaired_last, 0, 1), ts0)
+    has_ts = max_ts_tok > 0
+    mono = is_ts & (ids < floor[:, None]) & (active & has_ts)[:, None]
+    logits = jnp.where(mono, NEG_INF, logits)
+
+    # first sampled token must be a timestamp, bounded by max_initial_timestamp
+    # (openai suppresses every non-timestamp at the first position, eot too)
+    max_init = ts0 + int(round(opts.max_initial_timestamp / 0.02))
+    first = (n_sampled == 0)[:, None]
+    first_mask = (~is_ts) | (ids > max_init)
+    logits = jnp.where(first & first_mask, NEG_INF, logits)
+
+    # probability-mass rule: if sum of timestamp probs > max text prob,
+    # force a timestamp.
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_mass = jax.nn.logsumexp(jnp.where(is_ts, logprobs, NEG_INF), axis=-1)
+    text_max = jnp.max(jnp.where(is_ts, NEG_INF, logprobs), axis=-1)
+    force_ts = (ts_mass > text_max)[:, None]
+    logits = jnp.where(force_ts & (~is_ts), NEG_INF, logits)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Greedy / sampling decode
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "opts", "ti"))
+def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
+                  *, opts: DecodingOptions, ti: TokenizerInfo):
+    """Greedy / temperature-sampled decode of one batch of 30 s windows.
+
+    Args:
+      enc_out: (B, 1500, d).
+      prompt: (B, MAX_PROMPT) left-padded prompt (pad value irrelevant).
+      pad_len: (B,) number of pad slots.
+      rng: PRNG key (used when opts.temperature > 0).
+
+    Returns dict with tokens (B, sample_len), lengths, sum_logprob,
+    no_speech_prob.
+    """
+    b = enc_out.shape[0]
+    cache = init_cache(params, cfg, enc_out, max_len=MAX_TOTAL)
+    logits_all, cache = _prefill(params, cfg, prompt, pad_len, cache)
+
+    # no_speech prob: at the sot position's logits (predicting the token
+    # after sot). sot sits right after the pad at index pad_len + sot_index;
+    # faster-whisper reads it at the sot position of the forward pass.
+    sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
+                          jnp.arange(MAX_PROMPT)[None, :], axis=1)
+    sot_logits = jnp.take_along_axis(
+        logits_all, sot_slot[:, None, None], axis=1
+    )[:, 0].astype(jnp.float32)
+    no_speech_prob = (
+        jax.nn.softmax(sot_logits, axis=-1)[:, ti.no_speech]
+        if ti.no_speech is not None
+        else jnp.zeros((b,), jnp.float32)
+    )
+
+    static_mask = jnp.asarray(_static_suppress_mask(ti))
+    last_logits = logits_all[:, -1].astype(jnp.float32)
+
+    state = dict(
+        tokens=jnp.full((b, opts.sample_len), ti.eot, jnp.int32),
+        n=jnp.zeros((b,), jnp.int32),               # sampled count per row
+        finished=jnp.zeros((b,), bool),
+        sum_logprob=jnp.zeros((b,), jnp.float32),
+        last=jnp.full((b,), -1, jnp.int32),
+        penult=jnp.full((b,), -1, jnp.int32),
+        max_ts=jnp.zeros((b,), jnp.int32),
+        logits=last_logits,
+        cache=cache,
+        step=jnp.asarray(0, jnp.int32),
+        rng=rng,
+    )
+
+    def cond(s):
+        return (s["step"] < opts.sample_len) & (~jnp.all(s["finished"]))
+
+    def body(s):
+        logits = _apply_rules(
+            s["logits"], ti=ti, opts=opts, static_mask=static_mask,
+            n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
+            max_ts_tok=s["max_ts"],
+        )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        if opts.temperature == 0.0:
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            new_rng = s["rng"]
+        else:
+            new_rng, sub = jax.random.split(s["rng"])
+            next_tok = jax.random.categorical(
+                sub, logits / opts.temperature, axis=-1
+            ).astype(jnp.int32)
+        tok_logprob = jnp.take_along_axis(
+            logprobs, next_tok[:, None], axis=1
+        )[:, 0]
+        newly_finished = next_tok == ti.eot
+        active = ~s["finished"]
+        # faster/openai include the eot logprob in sum_logprob
+        sum_logprob = s["sum_logprob"] + jnp.where(active, tok_logprob, 0.0)
+        write_tok = jnp.where(active, next_tok, ti.eot)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            s["tokens"], write_tok[:, None], s["step"], axis=1
+        )
+        # bookkeeping (only for active, non-eot samples)
+        sampled = active & (~newly_finished)
+        penult = jnp.where(sampled, s["last"], s["penult"])
+        last = jnp.where(sampled, next_tok, s["last"])
+        is_ts = sampled & (next_tok >= ti.timestamp_begin)
+        # monotonicity floor: next timestamp must be >= current (CT2 allows
+        # equal), so floor = max_ts = sampled timestamp.
+        max_ts = jnp.where(is_ts, jnp.maximum(s["max_ts"], next_tok), s["max_ts"])
+        n = s["n"] + sampled.astype(jnp.int32)
+        finished = s["finished"] | newly_finished
+
+        slot = MAX_PROMPT + s["step"]
+        new_logits, new_cache = _step(
+            params, cfg, write_tok[:, None], slot, pad_len, s["cache"]
+        )
+        return dict(
+            tokens=tokens, n=n, finished=finished, sum_logprob=sum_logprob,
+            last=last, penult=penult, max_ts=max_ts,
+            logits=new_logits.astype(jnp.float32), cache=new_cache,
+            step=s["step"] + 1, rng=new_rng,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return {
+        "tokens": final["tokens"],
+        "lengths": final["n"],
+        "sum_logprob": final["sum_logprob"],
+        "no_speech_prob": no_speech_prob,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def _gather_cache(cache: DecodeCache, idx) -> DecodeCache:
+    """Reorder the batch axis (axis=1 of (L,B,...)) by ``idx``."""
+    return DecodeCache(
+        k=cache.k[:, idx], v=cache.v[:, idx],
+        cross_k=cache.cross_k[:, idx], cross_v=cache.cross_v[:, idx],
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts", "ti"))
+def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
+                *, opts: DecodingOptions, ti: TokenizerInfo):
+    """Beam-search decode (beam_size = opts.beam_size) of B windows.
+
+    Follows openai-whisper BeamSearchDecoder semantics: per-audio
+    finished-sequence set of size K, completion when K sequences have
+    finished (patience scales that), final selection by length-penalized
+    total logprob.
+
+    Returns dict with tokens (B, sample_len), lengths, sum_logprob,
+    no_speech_prob — the selected best sequence per audio.
+    """
+    b = enc_out.shape[0]
+    k = opts.beam_size
+    bk = b * k
+
+    # Expand to (B*K, ...): beams of the same audio share encoder output.
+    enc_rep = jnp.repeat(enc_out, k, axis=0)
+    prompt_rep = jnp.repeat(prompt, k, axis=0)
+    pad_rep = jnp.repeat(pad_len, k, axis=0)
+
+    cache = init_cache(params, cfg, enc_rep, max_len=MAX_TOTAL)
+    logits_all, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
+
+    sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
+                          jnp.arange(MAX_PROMPT)[None, :], axis=1)
+    sot_logits = jnp.take_along_axis(
+        logits_all[::k], sot_slot[:, None, None], axis=1
+    )[:, 0].astype(jnp.float32)
+    no_speech_prob = (
+        jax.nn.softmax(sot_logits, axis=-1)[:, ti.no_speech]
+        if ti.no_speech is not None
+        else jnp.zeros((b,), jnp.float32)
+    )
+
+    static_mask = jnp.asarray(_static_suppress_mask(ti))
+    max_finished = k  # completion target per audio (patience=1.0)
+
+    state = dict(
+        tokens=jnp.full((bk, opts.sample_len), ti.eot, jnp.int32),
+        n=jnp.zeros((bk,), jnp.int32),
+        cum_logprob=jnp.where(  # only beam 0 live initially
+            (jnp.arange(bk) % k) == 0, 0.0, NEG_INF
+        ).astype(jnp.float32),
+        last=jnp.full((bk,), -1, jnp.int32),
+        penult=jnp.full((bk,), -1, jnp.int32),
+        max_ts=jnp.zeros((bk,), jnp.int32),
+        logits=logits_all[:, -1].astype(jnp.float32),
+        cache=cache,
+        fin_tokens=jnp.full((b, k, opts.sample_len), ti.eot, jnp.int32),
+        fin_len=jnp.zeros((b, k), jnp.int32),
+        fin_logprob=jnp.full((b, k), NEG_INF, jnp.float32),
+        fin_count=jnp.zeros((b,), jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["step"] < opts.sample_len) & (~jnp.all(s["fin_count"] >= max_finished))
+
+    def body(s):
+        logits = _apply_rules(
+            s["logits"], ti=ti, opts=opts, static_mask=static_mask,
+            n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
+            max_ts_tok=s["max_ts"],
+        )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
+        v = ti.n_vocab
+        cand = s["cum_logprob"][:, None] + logprobs     # (BK, V)
+        cand = cand.reshape(b, k * v)
+        # top 2K candidates so that eot-finishing beams don't starve the beam
+        top_val, top_idx = jax.lax.top_k(cand, 2 * k)   # (B, 2K)
+        src_beam = top_idx // v                          # within-audio beam
+        tok = (top_idx % v).astype(jnp.int32)
+        is_eot = tok == ti.eot
+
+        # --- finished bookkeeping -----------------------------------------
+        # For each audio, append eot-candidates (in order) to the finished
+        # set while slots remain.
+        eot_rank = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) - 1  # rank among eots
+        slot = s["fin_count"][:, None] + eot_rank
+        can_store = is_eot & (slot < k) & (eot_rank >= 0)
+        # gather candidate sequences (tokens come from their source beams)
+        src_flat = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)
+        cand_tokens = s["tokens"][src_flat].reshape(b, 2 * k, opts.sample_len)
+        cand_n = s["n"][src_flat].reshape(b, 2 * k)
+
+        fin_tokens, fin_len, fin_logprob = s["fin_tokens"], s["fin_len"], s["fin_logprob"]
+
+        def store_one(i, carry):
+            ft, fl, fp = carry
+            stores = can_store[:, i]
+            sl = jnp.clip(slot[:, i], 0, k - 1)
+            row = jnp.arange(b)
+            new_ft = ft.at[row, sl].set(
+                jnp.where(stores[:, None], cand_tokens[:, i], ft[row, sl])
+            )
+            new_fl = fl.at[row, sl].set(jnp.where(stores, cand_n[:, i], fl[row, sl]))
+            new_fp = fp.at[row, sl].set(jnp.where(stores, top_val[:, i], fp[row, sl]))
+            return new_ft, new_fl, new_fp
+
+        fin_tokens, fin_len, fin_logprob = jax.lax.fori_loop(
+            0, 2 * k, store_one, (fin_tokens, fin_len, fin_logprob)
+        )
+        fin_count = jnp.minimum(
+            s["fin_count"] + jnp.sum(can_store, axis=1), k
+        )
+
+        # --- select K surviving (non-eot) candidates ----------------------
+        surv_score = jnp.where(is_eot, NEG_INF, top_val)
+        surv_rank = jnp.argsort(-surv_score, axis=1)[:, :k]      # (B, K)
+        row = jnp.arange(b)[:, None]
+        sel_tok = tok[row, surv_rank]                            # (B, K)
+        sel_score = surv_score[row, surv_rank]
+        sel_src = src_beam[row, surv_rank]                       # (B, K)
+        sel_flat_src = (jnp.arange(b)[:, None] * k + sel_src).reshape(-1)
+
+        # reorder state along beams
+        tokens = s["tokens"][sel_flat_src]
+        n = s["n"][sel_flat_src]
+        last = s["last"][sel_flat_src]
+        penult = s["penult"][sel_flat_src]
+        max_ts = s["max_ts"][sel_flat_src]
+        cache2 = _gather_cache(s["cache"], sel_flat_src)
+
+        new_tok = sel_tok.reshape(-1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, new_tok[:, None], s["step"], axis=1
+        )
+        penult = last
+        last = new_tok
+        is_ts = new_tok >= ti.timestamp_begin
+        max_ts = jnp.where(is_ts, jnp.maximum(max_ts, new_tok), max_ts)
+        n = n + 1
+        cum_logprob = sel_score.reshape(-1)
+
+        slot_id = MAX_PROMPT + s["step"]
+        new_logits, cache3 = _step(
+            params, cfg, new_tok[:, None], slot_id, pad_rep, cache2
+        )
+        return dict(
+            tokens=tokens, n=n, cum_logprob=cum_logprob, last=last,
+            penult=penult, max_ts=max_ts,
+            logits=new_logits.astype(jnp.float32), cache=cache3,
+            fin_tokens=fin_tokens, fin_len=fin_len, fin_logprob=fin_logprob,
+            fin_count=fin_count, step=s["step"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    # If an audio has no finished sequence (hit sample_len), fall back to the
+    # best live beam, appending an implicit eot.
+    live_best = jnp.argmax(s["cum_logprob"].reshape(b, k), axis=1)
+    row = jnp.arange(b)
+    live_tokens = s["tokens"].reshape(b, k, -1)[row, live_best]
+    live_len = s["n"].reshape(b, k)[row, live_best]
+    live_logprob = s["cum_logprob"].reshape(b, k)[row, live_best]
+
+    need_fallback = s["fin_count"] == 0
+    fin_tokens = jnp.where(need_fallback[:, None, None],
+                           live_tokens[:, None, :], s["fin_tokens"])
+    fin_len = jnp.where(need_fallback[:, None], live_len[:, None], s["fin_len"])
+    fin_logprob = jnp.where(need_fallback[:, None], live_logprob[:, None],
+                            s["fin_logprob"])
+
+    # length-penalized selection (GoogleNMT, faster-whisper length_penalty)
+    lengths = jnp.maximum(fin_len + 1, 1).astype(jnp.float32)  # + eot
+    if opts.length_penalty is None:
+        penalty = lengths
+    else:
+        penalty = ((5.0 + lengths) / 6.0) ** opts.length_penalty
+    scores = jnp.where(fin_logprob <= NEG_INF / 2, NEG_INF, fin_logprob / penalty)
+    best = jnp.argmax(scores, axis=1)
+    out_tokens = fin_tokens[row, best]
+    out_len = fin_len[row, best]
+    out_logprob = fin_logprob[row, best]
+    return {
+        "tokens": out_tokens,
+        "lengths": out_len,
+        "sum_logprob": out_logprob,
+        "no_speech_prob": no_speech_prob,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers
+# ---------------------------------------------------------------------------
+
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def build_prompt(tokenizer, *, language: str = "zh", task: str = "transcribe",
+                 without_timestamps: bool = False,
+                 prefix_tokens: Sequence[int] = (),
+                 previous_tokens: Sequence[int] = (),
+                 initial_prompt_tokens: Sequence[int] = ()) -> List[int]:
+    """Assemble the decoder prompt (faster-whisper get_prompt semantics):
+    ``[sot_prev] + (initial_prompt + previous)[-(224):] + sot_seq + prefix``.
+    """
+    prompt: List[int] = []
+    prev = list(initial_prompt_tokens) + list(previous_tokens)
+    if prev:
+        prompt.append(tokenizer.sot_prev)
+        prompt.extend(prev[-(MAX_PROMPT // 2 - 1) :])
+    prompt.extend(
+        tokenizer.sot_sequence(language, task, predict_timestamps=not without_timestamps)
+    )
+    if prefix_tokens:
+        prompt.extend(prefix_tokens)
+    return prompt[-(MAX_PROMPT - 1) :]
+
+
+def pad_prompts(prompts: Sequence[Sequence[int]], pad_value: int,
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-pad prompts to the fixed MAX_PROMPT buffer."""
+    b = len(prompts)
+    out = np.full((b, MAX_PROMPT), pad_value, np.int32)
+    pad_len = np.zeros((b,), np.int32)
+    for i, p in enumerate(prompts):
+        p = list(p)[-MAX_PROMPT:]
+        out[i, MAX_PROMPT - len(p) :] = p
+        pad_len[i] = MAX_PROMPT - len(p)
+    return out, pad_len
