@@ -1,0 +1,210 @@
+"""Voice activity detection.
+
+Replaces the Silero-ONNX VAD embedded in faster-whisper (enabled by
+``vad_filter=True`` at reference asr_core.py:163, api/file_asr.py:283,462,
+faster_whisper_asr.py:144).  The segmentation state machine —
+``VadOptions``, ``get_speech_timestamps``, ``collect_chunks``,
+``SpeechTimestampsMap`` — keeps faster-whisper's exact semantics so the
+engine's timestamp restoration math is identical; the per-frame speech
+probability comes from a jit-compiled adaptive energy/spectral-flatness
+model rather than the Silero network (whose weights are unavailable and
+unnecessary for parity of the surrounding machinery).
+"""
+
+from __future__ import annotations
+
+import bisect
+import dataclasses
+import functools
+from typing import List, Optional
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+WINDOW = 512  # 32 ms probability frames (Silero v5 granularity)
+
+
+@dataclasses.dataclass
+class VadOptions:
+    """Same knobs and defaults as faster_whisper.vad.VadOptions."""
+
+    threshold: float = 0.5
+    neg_threshold: Optional[float] = None
+    min_speech_duration_ms: int = 250
+    max_speech_duration_s: float = float("inf")
+    min_silence_duration_ms: int = 2000
+    speech_pad_ms: int = 400
+
+
+@functools.lru_cache(maxsize=1)
+def _prob_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prob(audio):
+        n = audio.shape[0] // WINDOW
+        frames = audio[: n * WINDOW].reshape(n, WINDOW)
+        energy = jnp.log(jnp.mean(frames * frames, axis=1) + 1e-10)
+        # adaptive noise floor: low quantile of frame energies
+        floor = jnp.quantile(energy, 0.1)
+        peak = jnp.maximum(jnp.quantile(energy, 0.95), floor + 4.0)
+        score = (energy - floor) / (peak - floor + 1e-6)
+        # light temporal smoothing (one-pole IIR both directions)
+        def smooth(carry, x):
+            y = 0.6 * carry + 0.4 * x
+            return y, y
+        _, fwd = jax.lax.scan(smooth, score[0], score)
+        _, bwd = jax.lax.scan(smooth, fwd[-1], fwd[::-1])
+        s = bwd[::-1]
+        return jax.nn.sigmoid((s - 0.35) * 10.0)
+
+    return prob
+
+
+def speech_probabilities(audio: np.ndarray) -> np.ndarray:
+    """Per-512-sample-frame speech probability in [0, 1]."""
+    if len(audio) < WINDOW:
+        return np.zeros((0,), np.float32)
+    return np.asarray(_prob_fn()(np.asarray(audio, np.float32)))
+
+
+def get_speech_timestamps(audio: np.ndarray,
+                          vad_options: Optional[VadOptions] = None,
+                          sampling_rate: int = SAMPLE_RATE) -> List[dict]:
+    """Split audio into speech chunks (faster-whisper state machine).
+
+    Returns list of ``{"start": sample, "end": sample}`` dicts.
+    """
+    opts = vad_options or VadOptions()
+    probs = speech_probabilities(audio)
+    audio_length = len(audio)
+
+    threshold = opts.threshold
+    neg_threshold = opts.neg_threshold
+    if neg_threshold is None:
+        neg_threshold = max(threshold - 0.15, 0.01)
+    min_speech_samples = sampling_rate * opts.min_speech_duration_ms / 1000
+    speech_pad_samples = sampling_rate * opts.speech_pad_ms / 1000
+    max_speech_samples = (
+        sampling_rate * opts.max_speech_duration_s
+        - WINDOW
+        - 2 * speech_pad_samples
+    )
+    min_silence_samples = sampling_rate * opts.min_silence_duration_ms / 1000
+    min_silence_samples_at_max_speech = sampling_rate * 98 / 1000
+
+    triggered = False
+    speeches: List[dict] = []
+    current: dict = {}
+    temp_end = 0
+    prev_end = next_start = 0
+
+    for i, prob in enumerate(probs):
+        pos = WINDOW * i
+        if prob >= threshold and temp_end:
+            temp_end = 0
+            if next_start < prev_end:
+                next_start = pos
+        if prob >= threshold and not triggered:
+            triggered = True
+            current["start"] = pos
+            continue
+        if triggered and pos - current["start"] > max_speech_samples:
+            if prev_end:
+                current["end"] = prev_end
+                speeches.append(current)
+                current = {}
+                if next_start < prev_end:
+                    triggered = False
+                else:
+                    current["start"] = next_start
+                prev_end = next_start = temp_end = 0
+            else:
+                current["end"] = pos
+                speeches.append(current)
+                current = {}
+                prev_end = next_start = temp_end = 0
+                triggered = False
+                continue
+        if prob < neg_threshold and triggered:
+            if not temp_end:
+                temp_end = pos
+            if pos - temp_end > min_silence_samples_at_max_speech:
+                prev_end = temp_end
+            if pos - temp_end < min_silence_samples:
+                continue
+            current["end"] = temp_end
+            if current["end"] - current["start"] > min_speech_samples:
+                speeches.append(current)
+            current = {}
+            prev_end = next_start = temp_end = 0
+            triggered = False
+            continue
+
+    if current.get("start") is not None and (
+        audio_length - current["start"] > min_speech_samples
+    ):
+        current["end"] = audio_length
+        speeches.append(current)
+
+    # pad and merge
+    for i, speech in enumerate(speeches):
+        if i == 0:
+            speech["start"] = int(max(0, speech["start"] - speech_pad_samples))
+        if i != len(speeches) - 1:
+            silence = speeches[i + 1]["start"] - speech["end"]
+            if silence < 2 * speech_pad_samples:
+                speech["end"] += silence // 2
+                speeches[i + 1]["start"] = int(
+                    max(0, speeches[i + 1]["start"] - silence // 2)
+                )
+            else:
+                speech["end"] = int(
+                    min(audio_length, speech["end"] + speech_pad_samples)
+                )
+                speeches[i + 1]["start"] = int(
+                    max(0, speeches[i + 1]["start"] - speech_pad_samples)
+                )
+        else:
+            speech["end"] = int(min(audio_length, speech["end"] + speech_pad_samples))
+    return speeches
+
+
+def collect_chunks(audio: np.ndarray, chunks: List[dict]) -> np.ndarray:
+    """Concatenate speech chunks (faster_whisper.vad.collect_chunks)."""
+    if not chunks:
+        return np.zeros((0,), dtype=np.float32)
+    return np.concatenate([audio[c["start"] : c["end"]] for c in chunks])
+
+
+class SpeechTimestampsMap:
+    """Map timestamps of the VAD-concatenated audio back to the original
+    (faster_whisper.vad.SpeechTimestampsMap semantics)."""
+
+    def __init__(self, chunks: List[dict], sampling_rate: int,
+                 time_precision: int = 2):
+        self.sampling_rate = sampling_rate
+        self.time_precision = time_precision
+        self.chunk_end_sample: List[int] = []
+        self.total_silence_before: List[float] = []
+        previous_end = 0
+        silent_samples = 0
+        for chunk in chunks:
+            silent_samples += chunk["start"] - previous_end
+            previous_end = chunk["end"]
+            self.chunk_end_sample.append(chunk["end"] - silent_samples)
+            self.total_silence_before.append(silent_samples / sampling_rate)
+
+    def get_chunk_index(self, time: float) -> int:
+        sample = int(time * self.sampling_rate)
+        return min(
+            bisect.bisect(self.chunk_end_sample, sample),
+            len(self.chunk_end_sample) - 1,
+        )
+
+    def get_original_time(self, time: float, chunk_index: Optional[int] = None) -> float:
+        if chunk_index is None:
+            chunk_index = self.get_chunk_index(time)
+        silence = self.total_silence_before[chunk_index]
+        return round(silence + time, self.time_precision)

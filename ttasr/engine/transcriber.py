@@ -1,0 +1,348 @@
+"""Batch transcription engine: the faster-whisper replacement.
+
+``WhisperEngine`` reproduces the ``WhisperModel`` API surface the
+reference uses everywhere (``asr_core.py:141,159``, ``api/file_asr.py:188,
+280,457``, ``faster_whisper_asr.py:107,170``):
+
+    engine = WhisperEngine("models", compute_type="bfloat16")
+    segments, info = engine.transcribe(
+        audio, language="zh", beam_size=5, vad_filter=True,
+        condition_on_previous_text=True, initial_prompt="")
+
+Internals are TPU-native: one jitted beam/greedy decode per window shape,
+the Whisper 30 s seek loop with timestamp-token parsing, faster-whisper's
+temperature fallback ladder (compression-ratio / avg-logprob gates),
+``condition_on_previous_text`` prompt carry with reset-on-high-temperature,
+and VAD chunk collection + timestamp restoration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ttasr.audio.io import load_audio
+from ttasr.audio.vad import (
+    SpeechTimestampsMap,
+    VadOptions,
+    collect_chunks,
+    get_speech_timestamps,
+)
+from ttasr.engine.results import Segment, TranscriptionInfo
+from ttasr.models.whisper.config import WhisperConfig
+from ttasr.models.whisper.decode import (
+    MAX_PROMPT,
+    SAMPLE_LEN,
+    DecodingOptions,
+    TokenizerInfo,
+    beam_decode,
+    build_prompt,
+    compression_ratio,
+    greedy_decode,
+    pad_prompts,
+)
+from ttasr.models.whisper.load import load_whisper
+from ttasr.models.whisper.model import encode
+from ttasr.ops.mel import HOP_LENGTH, N_FRAMES, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from ttasr.text.tokenizer import WhisperTokenizer, load_tokenizer
+
+logger = logging.getLogger("ttasr.engine")
+
+FRAMES_PER_SECOND = SAMPLE_RATE // HOP_LENGTH  # 100
+TIME_PRECISION = 0.02
+
+
+@dataclasses.dataclass
+class TranscribeOptions:
+    """Per-call knobs, defaults matching faster-whisper/reference usage."""
+
+    language: Optional[str] = "zh"
+    task: str = "transcribe"
+    beam_size: int = 5
+    best_of: int = 5
+    patience: float = 1.0
+    length_penalty: float = 1.0
+    temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    compression_ratio_threshold: Optional[float] = 2.4
+    log_prob_threshold: Optional[float] = -1.0
+    no_speech_threshold: Optional[float] = 0.6
+    condition_on_previous_text: bool = True
+    prompt_reset_on_temperature: float = 0.5
+    initial_prompt: Optional[str] = None
+    prefix: Optional[str] = None
+    without_timestamps: bool = False
+    max_initial_timestamp: float = 1.0
+    word_timestamps: bool = False
+    vad_filter: bool = True
+    vad_parameters: Optional[VadOptions] = None
+    max_new_tokens: int = SAMPLE_LEN
+
+
+class WhisperEngine:
+    """JAX Whisper inference engine with a faster-whisper-compatible API."""
+
+    def __init__(self, model_path_or_name: str = "tiny", *,
+                 compute_type: str = "float32",
+                 tokenizer: Optional[WhisperTokenizer] = None,
+                 params: Optional[Any] = None,
+                 config: Optional[WhisperConfig] = None):
+        import jax.numpy as jnp
+
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                 "float16": jnp.bfloat16, "int8": jnp.bfloat16}[compute_type]
+        self.compute_type = compute_type
+        self.device = "tpu"
+        self.model_size = model_path_or_name
+        if params is not None and config is not None:
+            self.params, self.cfg = params, config
+        else:
+            self.params, self.cfg = load_whisper(model_path_or_name, dtype=dtype)
+        self.tokenizer = tokenizer or load_tokenizer(
+            model_path_or_name if isinstance(model_path_or_name, str) else None
+        )
+        self.ti = TokenizerInfo.from_tokenizer(
+            self.tokenizer, n_vocab=self.cfg.vocab_size
+        )
+        self._rng_counter = 0
+
+    # -- low-level window decode ------------------------------------------
+
+    def _decode_window(self, enc_out, prompt_ids: List[int],
+                       opts: TranscribeOptions, temperature: float):
+        import jax
+
+        self._rng_counter += 1
+        rng = jax.random.PRNGKey(self._rng_counter)
+        prompt, pad = pad_prompts([prompt_ids], self.ti.eot)
+        dec_opts = DecodingOptions(
+            beam_size=opts.beam_size,
+            temperature=temperature,
+            length_penalty=opts.length_penalty,
+            patience=opts.patience,
+            without_timestamps=opts.without_timestamps,
+            max_initial_timestamp=opts.max_initial_timestamp,
+            sample_len=min(opts.max_new_tokens, SAMPLE_LEN),
+        )
+        if temperature == 0.0 and opts.beam_size > 1:
+            out = beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
+                              opts=dec_opts, ti=self.ti)
+        else:
+            out = greedy_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
+                                opts=dec_opts, ti=self.ti)
+        n = int(out["lengths"][0])
+        tokens = [int(t) for t in np.asarray(out["tokens"])[0, :n]]
+        sum_logprob = float(out["sum_logprob"][0])
+        avg_logprob = sum_logprob / (n + 1) if n >= 0 else 0.0
+        no_speech_prob = float(out["no_speech_prob"][0])
+        return tokens, avg_logprob, no_speech_prob
+
+    def _decode_with_fallback(self, enc_out, prompt_ids, opts: TranscribeOptions):
+        """Temperature ladder (faster-whisper generate_with_fallback)."""
+        last = None
+        for temperature in opts.temperatures:
+            tokens, avg_logprob, no_speech_prob = self._decode_window(
+                enc_out, prompt_ids, opts, temperature
+            )
+            text = self.tokenizer.decode(tokens)
+            ratio = compression_ratio(text)
+            last = (tokens, avg_logprob, no_speech_prob, ratio, temperature)
+            needs_fallback = False
+            if (opts.compression_ratio_threshold is not None
+                    and ratio > opts.compression_ratio_threshold):
+                needs_fallback = True
+            if (opts.log_prob_threshold is not None
+                    and avg_logprob < opts.log_prob_threshold):
+                needs_fallback = True
+            if (opts.no_speech_threshold is not None
+                    and no_speech_prob > opts.no_speech_threshold
+                    and opts.log_prob_threshold is not None
+                    and avg_logprob < opts.log_prob_threshold):
+                needs_fallback = False  # silence: don't ladder up
+            if not needs_fallback:
+                break
+        return last
+
+    # -- public API ----------------------------------------------------------
+
+    def transcribe(self, audio: Union[str, np.ndarray], **kwargs
+                   ) -> Tuple[List[Segment], TranscriptionInfo]:
+        """Transcribe audio; returns (segments, info) like WhisperModel."""
+        known = {f.name for f in dataclasses.fields(TranscribeOptions)}
+        fw_aliases = {"temperature": "temperatures"}
+        clean_kwargs = {}
+        for k, v in kwargs.items():
+            k = fw_aliases.get(k, k)
+            if k in known:
+                clean_kwargs[k] = v
+        opts = TranscribeOptions(**clean_kwargs)
+        if isinstance(opts.temperatures, (int, float)):
+            opts = dataclasses.replace(opts, temperatures=(float(opts.temperatures),))
+
+        if isinstance(audio, (str, bytes)):
+            audio, _ = load_audio(audio, sr=SAMPLE_RATE)
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=0)
+        duration = len(audio) / SAMPLE_RATE
+
+        speech_chunks = None
+        if opts.vad_filter:
+            vad_opts = opts.vad_parameters or VadOptions()
+            speech_chunks = get_speech_timestamps(audio, vad_opts)
+            audio_vad = collect_chunks(audio, speech_chunks)
+            duration_after_vad = len(audio_vad) / SAMPLE_RATE
+            audio = audio_vad
+        else:
+            duration_after_vad = duration
+
+        info = TranscriptionInfo(
+            language=opts.language or "zh",
+            language_probability=1.0,
+            duration=duration,
+            duration_after_vad=duration_after_vad,
+        )
+        if len(audio) == 0:
+            return [], info
+
+        segments = self._transcribe_windows(audio, opts)
+
+        if speech_chunks is not None and segments:
+            ts_map = SpeechTimestampsMap(speech_chunks, SAMPLE_RATE)
+            for seg in segments:
+                seg.start = ts_map.get_original_time(seg.start)
+                seg.end = ts_map.get_original_time(seg.end)
+        return segments, info
+
+    # -- seek loop ------------------------------------------------------------
+
+    def _transcribe_windows(self, audio: np.ndarray,
+                            opts: TranscribeOptions) -> List[Segment]:
+        tok = self.tokenizer
+        content_frames = max(len(audio) // HOP_LENGTH, 1)
+        seek = 0
+        all_tokens: List[int] = []
+        prompt_reset_since = 0
+        initial_prompt_tokens: List[int] = []
+        if opts.initial_prompt:
+            initial_prompt_tokens = tok.encode(" " + opts.initial_prompt.strip())
+            all_tokens.extend(initial_prompt_tokens)
+        segments: List[Segment] = []
+        seg_id = 0
+
+        while seek < content_frames:
+            time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+            window = audio[seek * HOP_LENGTH : seek * HOP_LENGTH + N_SAMPLES]
+            segment_frames = min(N_FRAMES, content_frames - seek)
+            segment_duration = segment_frames * HOP_LENGTH / SAMPLE_RATE
+
+            mel = log_mel_spectrogram(window, n_mels=self.cfg.num_mel_bins)
+            enc_out = encode(self.params, self.cfg, mel[None])
+
+            previous = all_tokens[prompt_reset_since:] if opts.condition_on_previous_text else []
+            prompt_ids = build_prompt(
+                tok,
+                language=opts.language or "zh",
+                task=opts.task,
+                without_timestamps=opts.without_timestamps,
+                prefix_tokens=tok.encode(" " + opts.prefix.strip()) if opts.prefix else (),
+                previous_tokens=previous,
+                initial_prompt_tokens=() if previous else initial_prompt_tokens,
+            )
+
+            tokens, avg_logprob, no_speech_prob, ratio, temperature = (
+                self._decode_with_fallback(enc_out, prompt_ids, opts)
+            )
+
+            if (opts.no_speech_threshold is not None
+                    and no_speech_prob > opts.no_speech_threshold):
+                should_skip = True
+                if (opts.log_prob_threshold is not None
+                        and avg_logprob > opts.log_prob_threshold):
+                    should_skip = False  # confident despite no_speech
+                if should_skip:
+                    seek += segment_frames
+                    continue
+
+            new_segments, seek_advance = self._parse_window_tokens(
+                tokens, time_offset, segment_duration, segment_frames
+            )
+            for s_tokens, s_start, s_end in new_segments:
+                text = tok.decode(s_tokens)
+                if not text.strip():
+                    continue
+                segments.append(Segment(
+                    id=seg_id, seek=seek, start=s_start, end=s_end, text=text,
+                    tokens=s_tokens, avg_logprob=avg_logprob,
+                    compression_ratio=ratio, no_speech_prob=no_speech_prob,
+                    temperature=temperature,
+                ))
+                seg_id += 1
+                all_tokens.extend(s_tokens)
+
+            if temperature > opts.prompt_reset_on_temperature:
+                prompt_reset_since = len(all_tokens)
+
+            seek += seek_advance
+
+        return segments
+
+    def _parse_window_tokens(self, tokens: List[int], time_offset: float,
+                             segment_duration: float, segment_frames: int):
+        """Split decoded tokens into timestamped segments; compute seek
+        advance (openai-whisper seek rules)."""
+        tok = self.tokenizer
+        ts0 = tok.timestamp_begin
+
+        if not tokens:
+            return [], segment_frames
+
+        is_ts = [tok.is_timestamp(t) for t in tokens]
+        consecutive = [
+            i + 1
+            for i in range(len(tokens) - 1)
+            if is_ts[i] and is_ts[i + 1]
+        ]
+        new_segments = []
+        if consecutive:
+            last_slice = 0
+            for boundary in consecutive:
+                sliced = tokens[last_slice:boundary]
+                start_ts = sliced[0] - ts0
+                end_ts = sliced[-1] - ts0
+                new_segments.append((
+                    [t for t in sliced if not tok.is_timestamp(t)],
+                    time_offset + start_ts * TIME_PRECISION,
+                    time_offset + end_ts * TIME_PRECISION,
+                ))
+                last_slice = boundary
+            # seek to the last consecutive timestamp
+            last_ts = tokens[last_slice - 1] - ts0
+            seek_advance = last_ts * 2  # ts units are 0.02s = 2 frames
+        else:
+            # single segment covering the window; end at the last timestamp
+            # if present, else the window duration
+            duration = segment_duration
+            ts_tokens = [t - ts0 for t in tokens if tok.is_timestamp(t)]
+            if ts_tokens and ts_tokens[-1] != 0:
+                duration = ts_tokens[-1] * TIME_PRECISION
+            new_segments.append((
+                [t for t in tokens if not tok.is_timestamp(t)],
+                time_offset,
+                time_offset + duration,
+            ))
+            seek_advance = segment_frames
+
+        if not self.tokenizer.is_timestamp(tokens[0]) and not any(is_ts):
+            # no timestamps at all (without_timestamps mode)
+            new_segments = [(
+                [t for t in tokens if not tok.is_timestamp(t)],
+                time_offset,
+                time_offset + segment_duration,
+            )]
+            seek_advance = segment_frames
+        seek_advance = max(int(seek_advance), 1)
+        return new_segments, seek_advance
