@@ -1,0 +1,371 @@
+"""API tests: auth flow, task lifecycle, streaming WS handshake.
+
+Pattern parity with reference api/tests/test_file_asr.py: isolated env
+(ASR_API_AUTH_DB at tmp path, test JWT secret), a fake engine swapped in
+via the module-level ``load_model`` seam, and lifespan-aware test client.
+"""
+
+import asyncio
+import io
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from ttasr.engine.results import Segment, TranscriptionInfo
+
+
+@pytest.fixture()
+def api_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("ASR_API_AUTH_DB", str(tmp_path / "auth_test.db"))
+    monkeypatch.setenv("ASR_API_JWT_SECRET", "TEST_SECRET")
+    monkeypatch.setenv("ASR_API_JWT_ALGORITHM", "HS256")
+    monkeypatch.setenv("ASR_API_BOOTSTRAP_ADMIN_USERNAME", "admin")
+    monkeypatch.setenv("ASR_API_BOOTSTRAP_ADMIN_PASSWORD", "admin@0935")
+    monkeypatch.setenv("ASR_API_BOOTSTRAP_ADMIN_NICKNAME", "ADMIN")
+    monkeypatch.setenv("ASR_API_RESET_ADMIN_ON_STARTUP", "1")
+    monkeypatch.setenv("FASTAPI_SKIP_INIT", "1")
+
+    import ttasr.api.file_tasks as ft
+
+    monkeypatch.setattr(ft, "BASE_DIR", tmp_path)
+    monkeypatch.setattr(ft, "whisper_engine", None)
+
+    class FakeEngine:
+        def transcribe(self, audio, **kwargs):
+            segs = [
+                Segment(id=0, seek=0, start=0.0, end=1.2345, text="這是單元測試",
+                        tokens=[1], avg_logprob=-0.1, compression_ratio=1.0,
+                        no_speech_prob=0.0),
+            ]
+            return segs, TranscriptionInfo("zh", 1.0, 1.0, 1.0)
+
+    def _fake_load_model():
+        ft.whisper_engine = FakeEngine()
+        return True
+
+    monkeypatch.setattr(ft, "load_model", _fake_load_model)
+    return tmp_path
+
+
+def _wav_bytes(duration=0.2, sr=16000):
+    t = np.arange(int(sr * duration)) / sr
+    pcm = (0.1 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _run(coro):
+    return asyncio.run(coro)
+
+
+async def _client():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from ttasr.api.app import create_app
+
+    app = create_app()
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    return client
+
+
+async def _login(client, remember=1):
+    resp = await client.post(
+        "/api/v1/login",
+        json={"username": "admin", "password": "admin@0935", "rememberMe": remember},
+    )
+    assert resp.status == 200, await resp.text()
+    data = await resp.json()
+    assert data["code"] == 200
+    return data["token"]
+
+
+def test_health_endpoints(api_env):
+    async def run():
+        client = await _client()
+        try:
+            r = await client.get("/api/health")
+            assert r.status == 200
+            data = await r.json()
+            assert data["status"] == "healthy" and "timestamp" in data
+            r = await client.get("/api/v1/health")
+            assert (await r.json())["status"] == "ok"
+            r = await client.get("/stream/health")
+            data = await r.json()
+            assert data["status"] == "healthy"
+        finally:
+            await client.close()
+    _run(run())
+
+
+def test_login_logout_and_bad_credentials(api_env):
+    async def run():
+        client = await _client()
+        try:
+            token = await _login(client)
+            r = await client.post(
+                "/api/v1/logout", headers={"Authorization": f"Bearer {token}"}
+            )
+            data = await r.json()
+            assert r.status == 200 and data["username"] == "admin"
+            r = await client.post(
+                "/api/v1/login", json={"username": "admin", "password": "wrong"}
+            )
+            assert r.status == 401
+            r = await client.post("/api/v1/logout")
+            assert r.status == 401
+        finally:
+            await client.close()
+    _run(run())
+
+
+def test_remember_me_expiration(api_env):
+    async def run():
+        client = await _client()
+        try:
+            r = await client.post(
+                "/api/v1/login",
+                json={"username": "admin", "password": "admin@0935", "rememberMe": 0},
+            )
+            assert (await r.json())["expiration"] == 86400
+            r = await client.post(
+                "/api/v1/login",
+                json={"username": "admin", "password": "admin@0935", "rememberMe": 1},
+            )
+            assert (await r.json())["expiration"] == 34560000
+        finally:
+            await client.close()
+    _run(run())
+
+
+def test_task_lifecycle(api_env):
+    async def run():
+        import aiohttp
+
+        client = await _client()
+        try:
+            token = await _login(client)
+            headers = {"Authorization": f"Bearer {token}"}
+
+            # unauthorized -> 401
+            form = aiohttp.FormData()
+            form.add_field("audio", _wav_bytes(), filename="t.wav",
+                           content_type="audio/wav")
+            r = await client.post("/api/v1/subtitle/tasks", data=form)
+            assert r.status == 401
+
+            # bad extension -> 400
+            form = aiohttp.FormData()
+            form.add_field("audio", b"x", filename="t.exe")
+            r = await client.post("/api/v1/subtitle/tasks", data=form,
+                                  headers=headers)
+            assert r.status == 400
+
+            # create task
+            form = aiohttp.FormData()
+            form.add_field("audio", _wav_bytes(), filename="t.wav",
+                           content_type="audio/wav")
+            form.add_field("reference_text", "這是單元測試")
+            r = await client.post("/api/v1/subtitle/tasks", data=form,
+                                  headers=headers)
+            assert r.status == 200, await r.text()
+            task_id = (await r.json())["id"]
+
+            # poll status until done (22)
+            for _ in range(50):
+                r = await client.post(
+                    f"/api/v1/subtitle/tasks/{task_id}", headers=headers
+                )
+                data = await r.json()
+                status = data["data"][0]["status"]
+                if status == 22:
+                    assert data["data"][0]["progress"] == 100
+                    break
+                assert status != 4, "task failed"
+                await asyncio.sleep(0.05)
+            else:
+                pytest.fail("task never completed")
+
+            # subtitle types
+            r = await client.get(
+                f"/api/v1/subtitle/tasks/{task_id}/subtitle-types", headers=headers
+            )
+            types = (await r.json())["data"][0]["types"]
+            assert set(types) == {"TXT", "SRT", "DIA"}
+
+            # link + download TXT
+            r = await client.get(
+                f"/api/v1/subtitle/tasks/{task_id}/subtitle-link?type=SRT",
+                headers=headers,
+            )
+            link = (await r.json())["data"][0]
+            assert link["type"] == "SRT" and "subtitle?type=SRT" in link["url"]
+
+            r = await client.get(
+                f"/api/v1/subtitle/tasks/{task_id}/subtitle?type=TXT",
+                headers=headers,
+            )
+            assert r.status == 200
+            assert (await r.text()) == "這是單元測試"
+
+            r = await client.get(
+                f"/api/v1/subtitle/tasks/{task_id}/subtitle?type=2",
+                headers=headers,
+            )
+            srt = await r.text()
+            assert "00:00:00,000 --> 00:00:01,234" in srt
+            assert "這是單元測試" in srt
+
+            # 404s
+            r = await client.post("/api/v1/subtitle/tasks/99999", headers=headers)
+            assert r.status == 404
+        finally:
+            await client.close()
+    _run(run())
+
+
+def test_user_management(api_env):
+    async def run():
+        client = await _client()
+        try:
+            token = await _login(client)
+            headers = {"Authorization": f"Bearer {token}"}
+            r = await client.post(
+                "/api/v1/user",
+                json={
+                    "username": "alice", "nickname": "Alice", "role": "user",
+                    "password": "pw123", "expiredTime": "2099-01-01T00:00:00Z",
+                },
+                headers=headers,
+            )
+            assert r.status == 200, await r.text()
+            # duplicate -> 409
+            r = await client.post(
+                "/api/v1/user",
+                json={
+                    "username": "alice", "nickname": "Alice", "role": "user",
+                    "password": "pw123", "expiredTime": "2099-01-01T00:00:00Z",
+                },
+                headers=headers,
+            )
+            assert r.status == 409
+
+            # alice can log in
+            r = await client.post(
+                "/api/v1/login", json={"username": "alice", "password": "pw123"}
+            )
+            assert r.status == 200
+            alice_token = (await r.json())["token"]
+
+            # alice (non-admin) cannot create users
+            r = await client.post(
+                "/api/v1/user",
+                json={
+                    "username": "bob", "nickname": "B", "role": "user",
+                    "password": "x", "expiredTime": "2099-01-01T00:00:00Z",
+                },
+                headers={"Authorization": f"Bearer {alice_token}"},
+            )
+            assert r.status == 403
+
+            # alice can change her own password; not admin's
+            r = await client.put(
+                "/api/v1/user/password?username=alice&newPassword=pw456",
+                headers={"Authorization": f"Bearer {alice_token}"},
+            )
+            assert r.status == 200
+            r = await client.put(
+                "/api/v1/user/password?username=admin&newPassword=hax",
+                headers={"Authorization": f"Bearer {alice_token}"},
+            )
+            assert r.status == 403
+            r = await client.post(
+                "/api/v1/login", json={"username": "alice", "password": "pw456"}
+            )
+            assert r.status == 200
+        finally:
+            await client.close()
+    _run(run())
+
+
+def test_streaming_ws_handshake_and_audio(api_env):
+    async def run():
+        client = await _client()
+        try:
+            # token required
+            ws = await client.ws_connect("/ws/v1/transcript")
+            msg = json.loads((await ws.receive()).data)
+            assert msg["code"] == 400
+            await ws.close()
+
+            # with token: code 100 handshake, audio ack while uninitialized
+            ws = await client.ws_connect("/stream/ws/stt?token=tester")
+            msg = json.loads((await ws.receive()).data)
+            assert msg["code"] == 100 and msg["message"] == "服務準備中"
+            await ws.send_bytes(b"\x00\x01" * 800)
+            msg = json.loads((await ws.receive()).data)
+            assert msg["code"] == 200
+            assert "not initialized" in msg["description"]
+            assert msg["data"]["buffer_bytes"] == 1600
+
+            # config update
+            await ws.send_str(json.dumps({
+                "type": "config",
+                "data": {"language": "zh", "sampleRate": 8000,
+                         "processing_args": {"chunk_length_seconds": 1.0,
+                                             "chunk_offset_seconds": 0.1}},
+            }))
+            msg = json.loads((await ws.receive()).data)
+            assert msg["code"] == 200 and "config" in msg["description"]
+
+            # base64 audio path
+            import base64 as b64
+
+            await ws.send_str(json.dumps({"audio": b64.b64encode(b"\x00\x01").decode()}))
+            msg = json.loads((await ws.receive()).data)
+            assert msg["code"] == 200
+            await ws.close()
+        finally:
+            await client.close()
+    _run(run())
+
+
+def test_jwt_roundtrip(api_env):
+    from ttasr.api.jwt import AuthError, generate_jwt_token, verify_jwt_token
+
+    token = generate_jwt_token({"sub": "u", "role": "admin"}, 60)
+    payload = verify_jwt_token(token)
+    assert payload["sub"] == "u" and "exp" in payload and "iat" in payload
+    with pytest.raises(AuthError):
+        verify_jwt_token(token + "x")
+    with pytest.raises(AuthError):
+        verify_jwt_token("not.a.token")
+    expired = generate_jwt_token({"sub": "u"}, -10)
+    with pytest.raises(AuthError) as exc:
+        verify_jwt_token(expired)
+    assert exc.value.detail == "token expired"
+
+
+def test_password_hash_passlib_format():
+    from ttasr.api.passwords import hash_password, verify_password
+
+    h = hash_password("secret@123")
+    assert h.startswith("$pbkdf2-sha256$29000$")
+    assert verify_password("secret@123", h)
+    assert not verify_password("wrong", h)
+    assert not verify_password("secret@123", "$bcrypt$whatever")
+    # deterministic vector (passlib modular-crypt format with ./-base64)
+    fixed = hash_password("abc", rounds=1000, salt=b"\x00" * 16)
+    assert fixed == (
+        "$pbkdf2-sha256$1000$AAAAAAAAAAAAAAAAAAAAAA$"
+        + fixed.rsplit("$", 1)[1]
+    )
+    assert verify_password("abc", fixed)

@@ -1,0 +1,11 @@
+"""ASR system configuration (parity with reference api/config.py).
+
+Only two knobs are consumed by the streaming ASR loader:
+- ``MODEL_DEVICE``: "tpu" (the only real target here; "cpu" works for tests)
+- ``MODEL_COMPUTE_TYPE``: "bfloat16" / "float32" / "int8"
+"""
+
+import os
+
+MODEL_DEVICE = os.getenv("TTASR_MODEL_DEVICE", "tpu")
+MODEL_COMPUTE_TYPE = os.getenv("TTASR_MODEL_COMPUTE_TYPE", "bfloat16")

@@ -1,0 +1,137 @@
+"""SilenceAtEndOfChunk buffering strategy.
+
+Parity surface: reference api/stt_streaming/src/buffering_strategy/
+buffering_strategies.py —
+- chunk/offset seconds from kwargs with env overrides
+  ``BUFFERING_CHUNK_LENGTH_SECONDS`` / ``BUFFERING_CHUNK_OFFSET_SECONDS``
+  (:32-40),
+- when the buffer exceeds chunk_length bytes, move it to scratch and
+  schedule async processing (:61-90) with a re-entrancy warning flag
+  (:72-75),
+- VAD gate: transcribe when the last VAD segment ends at least
+  ``chunk_offset`` before scratch end OR scratch exceeds 2 s (:118-126),
+- emits ``{"id", "code": 200, "message": "轉譯成功", "result": [...]}``
+  (:145-158) and appends to ``client.transcript`` (:175).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+import time
+import uuid
+
+from ttasr.streaming.buffering_strategy.buffering_strategy_interface import (
+    BufferingStrategyInterface,
+)
+
+logger = logging.getLogger("ttasr.streaming.buffering")
+
+
+class SilenceAtEndOfChunk(BufferingStrategyInterface):
+    def __init__(self, client, **kwargs):
+        self.client = client
+        chunk_length = os.environ.get("BUFFERING_CHUNK_LENGTH_SECONDS") \
+            or kwargs.get("chunk_length_seconds")
+        self.chunk_length_seconds = float(chunk_length)
+        chunk_offset = os.environ.get("BUFFERING_CHUNK_OFFSET_SECONDS") \
+            or kwargs.get("chunk_offset_seconds")
+        self.chunk_offset_seconds = float(chunk_offset)
+        self.error_if_not_realtime = os.environ.get("ERROR_IF_NOT_REALTIME") \
+            or kwargs.get("error_if_not_realtime", False)
+        self.processing_flag = False
+        self.start_time = None
+
+    def process_audio(self, websocket, vad_pipeline, asr_pipeline):
+        if self.client.connect_time is None and len(self.client.buffer) > 0:
+            self.client.connect_time = time.time()
+        if self.start_time is None:
+            self.start_time = time.time()
+
+        chunk_length_in_bytes = (
+            self.chunk_length_seconds
+            * self.client.sampling_rate
+            * self.client.samples_width
+        )
+        if len(self.client.buffer) > chunk_length_in_bytes:
+            if self.processing_flag:
+                logger.warning(
+                    "realtime processing fell behind: new chunk arrived while "
+                    "the previous one was still being processed"
+                )
+            self.client.scratch_buffer += self.client.buffer
+            self.client.buffer.clear()
+            self.processing_flag = True
+            asyncio.create_task(
+                self.process_audio_async(
+                    websocket, vad_pipeline, asr_pipeline,
+                    self.start_time, self.client.last_start_time,
+                )
+            )
+            self.start_time = None
+
+    async def process_audio_async(self, websocket, vad_pipeline, asr_pipeline,
+                                  start_time, default_start_time):
+        try:
+            start_transcribe_time = (
+                int(start_time - self.client.connect_time) + float(default_start_time)
+            )
+            vad_results = await vad_pipeline.detect_activity(self.client)
+            if len(vad_results) == 0:
+                self.client.scratch_buffer.clear()
+                self.client.buffer.clear()
+                return
+
+            last_segment_should_end_before = (
+                len(self.client.scratch_buffer)
+                / (self.client.sampling_rate * self.client.samples_width)
+            ) - self.chunk_offset_seconds
+            if not (
+                vad_results[-1]["end"] < last_segment_should_end_before
+                or last_segment_should_end_before > 2
+            ):
+                return
+
+            transcription = await asr_pipeline.transcribe(self.client)
+            if transcription is not None and "text" in transcription:
+                self.start_time = time.time()
+                start_time_sec = start_transcribe_time
+                end_time_sec = start_transcribe_time + (transcription.get("duration") or 0.0)
+                connection_id = getattr(self.client, "connection_id", None) \
+                    or str(uuid.uuid4())
+                payload = {
+                    "id": connection_id,
+                    "code": 200,
+                    "message": "轉譯成功",
+                    "result": [
+                        {
+                            "segment": 0,
+                            "transcript": transcription.get("text", ""),
+                            "final": 1,
+                            "startTime": round(float(start_time_sec), 3),
+                            "endTime": round(float(end_time_sec), 3),
+                        }
+                    ],
+                }
+                await self._send(websocket, json.dumps(payload, ensure_ascii=False))
+                self.client.transcript.append(payload)
+                logger.info("chunk transcribed: %s", transcription.get("text", ""))
+            self.client.scratch_buffer.clear()
+            self.client.increment_file_counter()
+        except Exception:
+            logger.exception("chunk processing failed")
+        finally:
+            self.processing_flag = False
+
+    @staticmethod
+    async def _send(websocket, text: str) -> None:
+        """Support aiohttp (send_str), starlette (send_text) and raw
+        websockets (send)."""
+        if hasattr(websocket, "send_str"):
+            await websocket.send_str(text)
+        elif hasattr(websocket, "send_text"):
+            await websocket.send_text(text)
+        else:
+            await websocket.send(text)
