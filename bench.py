@@ -1,0 +1,132 @@
+"""Headline benchmark: whisper-large-v3 real-time factor per TPU chip.
+
+Measures the full inference path — fused log-mel frontend, encoder, and
+beam-5 KV-cache decode forced to a fixed token budget (128 tokens per
+30 s window ≈ dense zh speech) on a batch of windows, which is exactly
+what the continuous-batching server executes per step.  RTF =
+wall-clock / audio-seconds (lower is better).
+
+Baseline: the reference's GPU sizing table gives RTF ≈ 0.1 on an RTX
+3080-class GPU (reference README.md:106; /root/repo/BASELINE.md).
+``vs_baseline`` reports baseline_rtf / our_rtf (speedup factor, >1 is
+faster than the reference).
+
+Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
+              compute: str, repeats: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import get_config
+    from ttasr.models.whisper.decode import (
+        DecodingOptions,
+        TokenizerInfo,
+        beam_decode,
+        greedy_decode,
+        pad_prompts,
+    )
+    from ttasr.models.whisper.model import encode, init_params
+    from ttasr.ops.mel import N_SAMPLES, log_mel_spectrogram
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute]
+    cfg = get_config(model_name)
+    params = init_params(cfg, seed=0, dtype=dtype)
+    tok = build_byte_fallback_tokenizer()
+
+    # Force full-length decode: report throughput at a fixed token budget.
+    # eot is added to the suppress set so random weights can't end early.
+    base = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    ti = TokenizerInfo(
+        eot=base.eot, sot=base.sot, no_timestamps=base.no_timestamps,
+        timestamp_begin=base.timestamp_begin, no_speech=base.no_speech,
+        blank=base.blank, suppress=tuple(sorted(set(base.suppress) | {base.eot})),
+        n_vocab=base.n_vocab,
+    )
+    opts = DecodingOptions(beam_size=beam, sample_len=decode_tokens,
+                           without_timestamps=False)
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
+    prompt_ids = tok.sot_sequence("zh", "transcribe", predict_timestamps=True)
+    prompt, pad = pad_prompts([prompt_ids] * batch, tok.eot)
+    key = jax.random.PRNGKey(0)
+
+    decode_fn = beam_decode if beam > 1 else greedy_decode
+
+    def full_pipeline(params, audio, prompt, pad, key):
+        mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
+        enc_out = encode(params, cfg, mel)
+        return decode_fn(params, cfg, enc_out, prompt, pad, key,
+                         opts=opts, ti=ti)
+
+    jitted = jax.jit(full_pipeline)
+
+    # compile
+    t0 = time.perf_counter()
+    out = jitted(params, audio, prompt, pad, key)
+    jax.block_until_ready(out)
+    compile_time = time.perf_counter() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jitted(params, audio, prompt, pad, key)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
+    audio_seconds = batch * 30.0
+    rtf = elapsed / audio_seconds
+    lengths = np.asarray(out["lengths"])
+    return {
+        "rtf": rtf,
+        "elapsed_s": elapsed,
+        "compile_s": compile_time,
+        "audio_s": audio_seconds,
+        "decoded_tokens": int(lengths.sum()) or batch * decode_tokens,
+        "tokens_per_s": batch * decode_tokens / elapsed,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="large-v3")
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--decode-tokens", type=int, default=128)
+    parser.add_argument("--beam", type=int, default=5)
+    parser.add_argument("--compute", default="bfloat16")
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    stats = run_bench(args.model, args.batch, args.decode_tokens, args.beam,
+                      args.compute, args.repeats)
+    baseline_rtf = 0.1  # reference GPU RTF (README.md:106)
+    print(json.dumps({
+        "metric": f"whisper-{args.model}_rtf_per_chip",
+        "value": round(stats["rtf"], 5),
+        "unit": "rtf",
+        "vs_baseline": round(baseline_rtf / stats["rtf"], 2),
+        "detail": {
+            "batch_windows": args.batch,
+            "beam_size": args.beam,
+            "decode_tokens_per_window": args.decode_tokens,
+            "elapsed_s": round(stats["elapsed_s"], 3),
+            "compile_s": round(stats["compile_s"], 1),
+            "tokens_per_s": round(stats["tokens_per_s"], 1),
+            "baseline": "reference GPU RTF≈0.1 (README.md:106)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

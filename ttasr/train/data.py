@@ -1,0 +1,165 @@
+"""TSV corpus loading and batch preparation.
+
+Parity surface: reference train_asr.py:400-473 & 607-649 —
+- corpora live at ``{corpus_data_dir}/{config}/{split}*.tsv`` with
+  ``path<TAB>sentence`` rows; audio files under ``{config}/clips/{path}``
+  (nested subdirs supported),
+- ``+``-joined config names and split names concatenate datasets
+  (train_asr.py:446-468, run.sh:20-22 ``train+validated``),
+- 16 kHz mono cast, min/max duration filter (train_asr.py:642-649),
+- labels = prefix tokens + BPE(sentence) + eot, padded to -100
+  (collator, train_asr.py:268-319), lowercased when ``do_lower_case``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import random
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ttasr.audio.io import load_audio
+from ttasr.ops.mel import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+
+LABEL_PAD = -100
+
+
+@dataclasses.dataclass
+class CorpusExample:
+    audio_path: str
+    sentence: str
+
+
+def _read_tsv(path: str) -> List[CorpusExample]:
+    examples: List[CorpusExample] = []
+    clips_dir = os.path.join(os.path.dirname(path), "clips")
+    with open(path, encoding="utf-8") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        try:
+            path_col = header.index("path")
+            sent_col = header.index("sentence")
+        except ValueError:
+            # headerless TSV: assume (path, sentence)
+            fh.seek(0)
+            path_col, sent_col = 0, 1
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) <= max(path_col, sent_col):
+                continue
+            rel, sentence = parts[path_col], parts[sent_col]
+            if not rel or not sentence:
+                continue
+            examples.append(CorpusExample(os.path.join(clips_dir, rel), sentence))
+    return examples
+
+
+def load_tsv_corpus(corpus_data_dir: str, dataset_config_name: str,
+                    split_name: str) -> List[CorpusExample]:
+    """Load ``+``-joined configs x ``+``-joined splits, concatenated.
+
+    Mirrors load_maybe_streaming_dataset (reference train_asr.py:400-468):
+    file pattern ``{dir}/{config}/{split}*.tsv``.
+    """
+    examples: List[CorpusExample] = []
+    for config in dataset_config_name.split("+"):
+        for split in split_name.split("+"):
+            pattern = os.path.join(corpus_data_dir, config, f"{split}*.tsv")
+            matches = sorted(glob.glob(pattern))
+            if not matches:
+                raise FileNotFoundError(f"no TSV matches {pattern}")
+            for tsv in matches:
+                examples.extend(_read_tsv(tsv))
+    return examples
+
+
+def prepare_example(example: CorpusExample, tokenizer, *,
+                    language: str = "zh", task: str = "transcribe",
+                    do_lower_case: bool = True,
+                    min_duration_s: float = 0.0,
+                    max_duration_s: float = 30.0) -> Optional[dict]:
+    """Decode audio + tokenize label; None when duration-filtered."""
+    audio, _ = load_audio(example.audio_path, sr=SAMPLE_RATE)
+    duration = len(audio) / SAMPLE_RATE
+    if duration < min_duration_s or duration > max_duration_s:
+        return None
+    sentence = example.sentence.lower() if do_lower_case else example.sentence
+    prefix = tokenizer.sot_sequence(language, task, predict_timestamps=False)
+    labels = prefix + tokenizer.encode(sentence) + [tokenizer.eot]
+    return {"audio": audio, "labels": labels, "sentence": sentence,
+            "duration": duration}
+
+
+def collate_batch(prepared: Sequence[dict], n_mels: int, eot: int,
+                  max_label_len: int = 448) -> dict:
+    """Batch: mel features + decoder inputs/targets with -100 masking.
+
+    Teacher forcing: ``decoder_input = labels[:-1]``, ``target =
+    labels[1:]`` (the HF collator's strip-BOS + shift-right combined;
+    reference train_asr.py:297-317).
+    """
+    batch = len(prepared)
+    audio = np.zeros((batch, N_SAMPLES), np.float32)
+    for i, ex in enumerate(prepared):
+        a = ex["audio"][:N_SAMPLES]
+        audio[i, : len(a)] = a
+    mel = np.asarray(log_mel_spectrogram(audio, n_mels=n_mels))
+
+    label_len = min(max(len(ex["labels"]) for ex in prepared), max_label_len)
+    inputs = np.full((batch, label_len - 1), eot, np.int32)
+    targets = np.full((batch, label_len - 1), LABEL_PAD, np.int32)
+    for i, ex in enumerate(prepared):
+        lab = ex["labels"][:label_len]
+        inputs[i, : len(lab) - 1] = lab[:-1]
+        targets[i, : len(lab) - 1] = lab[1:]
+    return {"mel": mel, "decoder_input_ids": inputs, "labels": targets}
+
+
+def batch_iterator(examples: List[CorpusExample], tokenizer, *,
+                   batch_size: int, n_mels: int, seed: int = 0,
+                   shuffle: bool = True, drop_last: bool = True,
+                   epochs: Optional[int] = None, label_pad_to: int = 128,
+                   **prep_kwargs) -> Iterator[dict]:
+    """Host-side batching with fixed label padding (static shapes for jit)."""
+    rng = random.Random(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = list(range(len(examples)))
+        if shuffle:
+            rng.shuffle(order)
+        buf: List[dict] = []
+        for idx in order:
+            prepared = prepare_example(examples[idx], tokenizer, **prep_kwargs)
+            if prepared is None:
+                continue
+            buf.append(prepared)
+            if len(buf) == batch_size:
+                batch = collate_batch(buf, n_mels, tokenizer.eot,
+                                      max_label_len=label_pad_to + 1)
+                batch = _pad_labels(batch, label_pad_to, tokenizer.eot)
+                yield batch
+                buf = []
+        if buf and not drop_last:
+            batch = collate_batch(buf, n_mels, tokenizer.eot,
+                                  max_label_len=label_pad_to + 1)
+            yield _pad_labels(batch, label_pad_to, tokenizer.eot)
+        epoch += 1
+
+
+def _pad_labels(batch: dict, label_pad_to: int, eot: int) -> dict:
+    """Right-pad decoder inputs/targets to a fixed width (no recompiles)."""
+    cur = batch["decoder_input_ids"].shape[1]
+    if cur >= label_pad_to:
+        batch["decoder_input_ids"] = batch["decoder_input_ids"][:, :label_pad_to]
+        batch["labels"] = batch["labels"][:, :label_pad_to]
+        return batch
+    pad = label_pad_to - cur
+    batch["decoder_input_ids"] = np.pad(
+        batch["decoder_input_ids"], ((0, 0), (0, pad)), constant_values=eot
+    )
+    batch["labels"] = np.pad(
+        batch["labels"], ((0, 0), (0, pad)), constant_values=LABEL_PAD
+    )
+    return batch
