@@ -65,6 +65,7 @@ class DecodingOptions:
     max_initial_timestamp: float = 1.0
     suppress_blank: bool = True
     sample_len: int = SAMPLE_LEN
+    max_prompt: int = MAX_PROMPT
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,9 +139,15 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
     )
     x = _ln(x, dec["ln_s"], dec["ln_b"])
-    logits = jnp.matmul(x, dec["embed"].T.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    return x, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+
+
+def _logits_at(params, hidden):
+    """Project selected hidden rows (N, d) to vocab logits (N, V) —
+    avoids materializing (N, MAX_PROMPT, V) prefill logits."""
+    dec = params["decoder"]
+    return jnp.matmul(hidden, dec["embed"].T.astype(hidden.dtype),
+                      preferred_element_type=jnp.float32)
 
 
 def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
@@ -275,17 +282,20 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     no_speech_prob.
     """
     b = enc_out.shape[0]
-    cache = init_cache(params, cfg, enc_out, max_len=MAX_TOTAL)
-    logits_all, cache = _prefill(params, cfg, prompt, pad_len, cache)
+    max_prompt = prompt.shape[1]
+    cache = init_cache(params, cfg, enc_out,
+                       max_len=max_prompt + opts.sample_len)
+    hidden, cache = _prefill(params, cfg, prompt, pad_len, cache)
 
     # no_speech prob: at the sot position's logits (predicting the token
     # after sot). sot sits right after the pad at index pad_len + sot_index;
     # faster-whisper reads it at the sot position of the forward pass.
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
-                          jnp.arange(MAX_PROMPT)[None, :], axis=1)
-    sot_logits = jnp.take_along_axis(
-        logits_all, sot_slot[:, None, None], axis=1
-    )[:, 0].astype(jnp.float32)
+                          jnp.arange(max_prompt)[None, :], axis=1)
+    sot_hidden = jnp.take_along_axis(
+        hidden, sot_slot[:, None, None], axis=1
+    )[:, 0]
+    sot_logits = _logits_at(params, sot_hidden).astype(jnp.float32)
     no_speech_prob = (
         jax.nn.softmax(sot_logits, axis=-1)[:, ti.no_speech]
         if ti.no_speech is not None
@@ -293,7 +303,7 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     )
 
     static_mask = jnp.asarray(_static_suppress_mask(ti))
-    last_logits = logits_all[:, -1].astype(jnp.float32)
+    last_logits = _logits_at(params, hidden[:, -1]).astype(jnp.float32)
 
     state = dict(
         tokens=jnp.full((b, opts.sample_len), ti.eot, jnp.int32),
@@ -349,7 +359,7 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         n = s["n"] + sampled.astype(jnp.int32)
         finished = s["finished"] | newly_finished
 
-        slot = MAX_PROMPT + s["step"]
+        slot = max_prompt + s["step"]
         new_logits, new_cache = _step(
             params, cfg, write_tok[:, None], slot, pad_len, s["cache"]
         )
@@ -374,10 +384,15 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 # ---------------------------------------------------------------------------
 
 def _gather_cache(cache: DecodeCache, idx) -> DecodeCache:
-    """Reorder the batch axis (axis=1 of (L,B,...)) by ``idx``."""
+    """Reorder the batch axis (axis=1 of (L,B,...)) by ``idx``.
+
+    Cross-attention K/V are NOT gathered: beam reordering only permutes
+    beams within the same audio, and cross K/V are identical across those
+    beams — skipping the gather saves the dominant HBM copy per step.
+    """
     return DecodeCache(
         k=cache.k[:, idx], v=cache.v[:, idx],
-        cross_k=cache.cross_k[:, idx], cross_v=cache.cross_v[:, idx],
+        cross_k=cache.cross_k, cross_v=cache.cross_v,
     )
 
 
@@ -403,14 +418,17 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     prompt_rep = jnp.repeat(prompt, k, axis=0)
     pad_rep = jnp.repeat(pad_len, k, axis=0)
 
-    cache = init_cache(params, cfg, enc_rep, max_len=MAX_TOTAL)
-    logits_all, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
+    max_prompt = prompt.shape[1]
+    cache = init_cache(params, cfg, enc_rep,
+                       max_len=max_prompt + opts.sample_len)
+    hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
-                          jnp.arange(MAX_PROMPT)[None, :], axis=1)
-    sot_logits = jnp.take_along_axis(
-        logits_all[::k], sot_slot[:, None, None], axis=1
-    )[:, 0].astype(jnp.float32)
+                          jnp.arange(max_prompt)[None, :], axis=1)
+    sot_hidden = jnp.take_along_axis(
+        hidden[::k], sot_slot[:, None, None], axis=1
+    )[:, 0]
+    sot_logits = _logits_at(params, sot_hidden).astype(jnp.float32)
     no_speech_prob = (
         jax.nn.softmax(sot_logits, axis=-1)[:, ti.no_speech]
         if ti.no_speech is not None
@@ -429,7 +447,7 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         last=jnp.full((bk,), -1, jnp.int32),
         penult=jnp.full((bk,), -1, jnp.int32),
         max_ts=jnp.zeros((bk,), jnp.int32),
-        logits=logits_all[:, -1].astype(jnp.float32),
+        logits=_logits_at(params, hidden[:, -1]).astype(jnp.float32),
         cache=cache,
         fin_tokens=jnp.full((b, k, opts.sample_len), ti.eot, jnp.int32),
         fin_len=jnp.zeros((b, k), jnp.int32),
@@ -517,7 +535,7 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         n = n + 1
         cum_logprob = sel_score.reshape(-1)
 
-        slot_id = MAX_PROMPT + s["step"]
+        slot_id = max_prompt + s["step"]
         new_logits, cache3 = _step(
             params, cfg, new_tok[:, None], slot_id, pad_rep, cache2
         )
@@ -598,13 +616,21 @@ def build_prompt(tokenizer, *, language: str = "zh", task: str = "transcribe",
 
 
 def pad_prompts(prompts: Sequence[Sequence[int]], pad_value: int,
-                ) -> Tuple[np.ndarray, np.ndarray]:
-    """Left-pad prompts to the fixed MAX_PROMPT buffer."""
+                width: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-pad prompts to a fixed-width buffer (default MAX_PROMPT).
+
+    Short prompts (no previous-text conditioning) can use a small bucket
+    (e.g. 16) so the prefill pass does no wasted work; two buckets means
+    at most two compiled prefill variants.
+    """
     b = len(prompts)
-    out = np.full((b, MAX_PROMPT), pad_value, np.int32)
+    if width is None:
+        longest = max((len(p) for p in prompts), default=0)
+        width = 16 if longest <= 16 else MAX_PROMPT
+    out = np.full((b, width), pad_value, np.int32)
     pad_len = np.zeros((b,), np.int32)
     for i, p in enumerate(prompts):
-        p = list(p)[-MAX_PROMPT:]
-        out[i, MAX_PROMPT - len(p) :] = p
-        pad_len[i] = MAX_PROMPT - len(p)
+        p = list(p)[-width:]
+        out[i, width - len(p) :] = p
+        pad_len[i] = width - len(p)
     return out, pad_len

@@ -1,0 +1,220 @@
+"""Training loop: steps, eval, checkpointing, metrics.
+
+Replaces Seq2SeqTrainer usage in the reference (train_asr.py:697-751):
+- max_steps budget with eval/save cadences (run.sh:13,23-25),
+- greedy generation for eval + CER metric (train_asr.py:662-675,
+  ``evaluate.load("cer")`` semantics via ttasr.text.cer.cer_metric),
+- checkpoint auto-detect + resume (train_asr.py:374-392,710-716),
+- train/eval metrics persisted (train_asr.py:717-751).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ttasr.core.checkpoint import (
+    get_last_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+)
+from ttasr.models.whisper.config import WhisperConfig
+from ttasr.models.whisper.decode import (
+    DecodingOptions,
+    TokenizerInfo,
+    greedy_decode,
+    pad_prompts,
+)
+from ttasr.models.whisper.model import encode
+from ttasr.ops.mel import N_SAMPLES, log_mel_spectrogram
+from ttasr.text.cer import cer_metric
+from ttasr.train.data import (
+    CorpusExample,
+    batch_iterator,
+    collate_batch,
+    prepare_example,
+)
+from ttasr.train.train_step import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+logger = logging.getLogger("ttasr.train")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str
+    max_steps: int = 2000
+    per_device_train_batch_size: int = 4
+    per_device_eval_batch_size: int = 16
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 1e-5
+    warmup_steps: int = 500
+    logging_steps: int = 25
+    eval_steps: int = 1000
+    save_steps: int = 1000
+    generation_max_length: int = 225
+    language: str = "zh"
+    task: str = "transcribe"
+    do_lower_case: bool = True
+    min_duration_in_seconds: float = 0.0
+    max_duration_in_seconds: float = 30.0
+    gradient_checkpointing: bool = True
+    freeze_encoder: bool = False
+    label_pad_to: int = 128
+    seed: int = 42
+    resume_from_checkpoint: Optional[str] = None
+
+
+class Trainer:
+    def __init__(self, params, cfg: WhisperConfig, tokenizer,
+                 trainer_config: TrainerConfig, *, mesh=None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.tc = trainer_config
+        self.mesh = mesh
+        self.optimizer = make_optimizer(
+            learning_rate=self.tc.learning_rate,
+            warmup_steps=self.tc.warmup_steps,
+            total_steps=self.tc.max_steps,
+        )
+        self.state = init_train_state(params, self.optimizer)
+        self.train_step = make_train_step(
+            cfg, self.optimizer, mesh=mesh,
+            remat=self.tc.gradient_checkpointing,
+            freeze_encoder=self.tc.freeze_encoder,
+        )
+        self.metrics_path = os.path.join(self.tc.output_dir, "metrics.jsonl")
+
+    # -- checkpoint management ------------------------------------------------
+
+    def maybe_resume(self) -> int:
+        """HF-style resume precedence (train_asr.py:710-716)."""
+        ckpt = self.tc.resume_from_checkpoint or get_last_checkpoint(
+            self.tc.output_dir
+        )
+        if ckpt:
+            logger.info("resuming from %s", ckpt)
+            self.state = restore_checkpoint(ckpt, self.state)
+            return int(np.asarray(self.state.step))
+        return 0
+
+    def _log(self, record: dict) -> None:
+        os.makedirs(self.tc.output_dir, exist_ok=True)
+        with open(self.metrics_path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(record, ensure_ascii=False) + "\n")
+        logger.info("%s", record)
+
+    # -- training --------------------------------------------------------------
+
+    def train(self, train_examples: List[CorpusExample],
+              eval_examples: Optional[List[CorpusExample]] = None) -> dict:
+        start_step = self.maybe_resume()
+        it = batch_iterator(
+            train_examples, self.tokenizer,
+            batch_size=self.tc.per_device_train_batch_size,
+            n_mels=self.cfg.num_mel_bins, seed=self.tc.seed,
+            label_pad_to=self.tc.label_pad_to,
+            language=self.tc.language, task=self.tc.task,
+            do_lower_case=self.tc.do_lower_case,
+            min_duration_s=self.tc.min_duration_in_seconds,
+            max_duration_s=self.tc.max_duration_in_seconds,
+        )
+        t0 = time.time()
+        losses = []
+        final_loss = float("nan")
+        for step in range(start_step, self.tc.max_steps):
+            batch = next(it)
+            if self.mesh is not None:
+                batch = self._shard_batch(batch)
+            self.state, loss = self.train_step(self.state, batch)
+            losses.append(loss)
+            if (step + 1) % self.tc.logging_steps == 0 or step + 1 == self.tc.max_steps:
+                final_loss = float(np.mean([float(l) for l in losses]))
+                self._log({
+                    "step": step + 1, "loss": round(final_loss, 4),
+                    "elapsed_s": round(time.time() - t0, 1),
+                })
+                losses = []
+            if (step + 1) % self.tc.save_steps == 0:
+                save_checkpoint(self.tc.output_dir, step + 1, self.state)
+            if eval_examples and (step + 1) % self.tc.eval_steps == 0:
+                metrics = self.evaluate(eval_examples)
+                self._log({"step": step + 1, **metrics})
+
+        save_checkpoint(self.tc.output_dir, self.tc.max_steps, self.state)
+        save_params(os.path.join(self.tc.output_dir, "model"), self.state.params)
+        return {"train_loss": final_loss, "steps": self.tc.max_steps}
+
+    def _shard_batch(self, batch: dict) -> dict:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        specs = {
+            "mel": P("data", None, None),
+            "decoder_input_ids": P("data", None),
+            "labels": P("data", None),
+        }
+        return {
+            k: jax.device_put(v, NamedSharding(self.mesh, specs[k]))
+            for k, v in batch.items()
+        }
+
+    # -- evaluation --------------------------------------------------------------
+
+    def evaluate(self, eval_examples: List[CorpusExample]) -> dict:
+        """Greedy generation + CER (predict_with_generate parity)."""
+        tok = self.tokenizer
+        ti = TokenizerInfo.from_tokenizer(tok, n_vocab=self.cfg.vocab_size)
+        opts = DecodingOptions(
+            beam_size=1, without_timestamps=True,
+            sample_len=min(self.tc.generation_max_length, 224),
+        )
+        prompt_ids = tok.sot_sequence(self.tc.language, self.tc.task,
+                                      predict_timestamps=False)
+        import jax
+
+        refs: List[str] = []
+        hyps: List[str] = []
+        bs = self.tc.per_device_eval_batch_size
+        prepared = []
+        for ex in eval_examples:
+            p = prepare_example(
+                ex, tok, language=self.tc.language, task=self.tc.task,
+                do_lower_case=self.tc.do_lower_case,
+                min_duration_s=self.tc.min_duration_in_seconds,
+                max_duration_s=self.tc.max_duration_in_seconds,
+            )
+            if p is not None:
+                prepared.append(p)
+        for i in range(0, len(prepared), bs):
+            chunk = prepared[i : i + bs]
+            audio = np.zeros((len(chunk), N_SAMPLES), np.float32)
+            for j, ex in enumerate(chunk):
+                a = ex["audio"][:N_SAMPLES]
+                audio[j, : len(a)] = a
+            mel = log_mel_spectrogram(audio, n_mels=self.cfg.num_mel_bins)
+            enc_out = encode(self.state.params, self.cfg, mel)
+            prompt, pad = pad_prompts([prompt_ids] * len(chunk), tok.eot)
+            out = greedy_decode(
+                self.state.params, self.cfg, enc_out, prompt, pad,
+                jax.random.PRNGKey(0), opts=opts, ti=ti,
+            )
+            tokens = np.asarray(out["tokens"])
+            lengths = np.asarray(out["lengths"])
+            for j, ex in enumerate(chunk):
+                hyp = tok.decode([int(t) for t in tokens[j, : lengths[j]]])
+                refs.append(ex["sentence"])
+                hyps.append(hyp)
+        cer = cer_metric(refs, hyps)
+        return {"eval_cer": round(cer, 4), "eval_samples": len(refs)}
