@@ -37,6 +37,7 @@ from ttasr.models.whisper.config import WhisperConfig
 from ttasr.models.whisper.model import (
     DecodeCache,
     _attention,
+    _cross_attention,
     _ln,
     _merge_heads,
     _mlp,
@@ -131,7 +132,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
-        x = x + _proj(_merge_heads(_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
+        x = x + _proj(_merge_heads(_cross_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         return x, (k_cache, v_cache)
 
@@ -177,7 +178,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
-        x = x + _proj(_merge_heads(_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
+        x = x + _proj(_merge_heads(_cross_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         return x, (k_cache, v_cache)
 
@@ -413,14 +414,14 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     k = opts.beam_size
     bk = b * k
 
-    # Expand to (B*K, ...): beams of the same audio share encoder output.
-    enc_rep = jnp.repeat(enc_out, k, axis=0)
+    # Beams of the same audio share encoder output and cross-KV; only the
+    # self-attn caches expand to B*K rows.
     prompt_rep = jnp.repeat(prompt, k, axis=0)
     pad_rep = jnp.repeat(pad_len, k, axis=0)
 
     max_prompt = prompt.shape[1]
-    cache = init_cache(params, cfg, enc_rep,
-                       max_len=max_prompt + opts.sample_len)
+    cache = init_cache(params, cfg, enc_out,
+                       max_len=max_prompt + opts.sample_len, beam_expand=k)
     hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *

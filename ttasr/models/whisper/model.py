@@ -242,23 +242,47 @@ jax.tree_util.register_dataclass(
 )
 
 
-def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int) -> DecodeCache:
-    """Allocate self-attn cache and precompute cross-attn K/V per layer."""
+def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
+               beam_expand: int = 1) -> DecodeCache:
+    """Allocate self-attn cache and precompute cross-attn K/V per layer.
+
+    Cross K/V stay at the audio batch size B even when decoding B*K beam
+    rows (``beam_expand=K``) — beams of one audio share them, and the
+    attention kernels broadcast over the beam group.  The per-layer K/V
+    projection runs under ``lax.scan`` so only one layer's f32 matmul
+    output is ever live.
+    """
     dec = params["decoder"]
     b = enc_out.shape[0]
     h, dh = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
     dtype = enc_out.dtype
 
-    def cross_kv(blk):
+    def cross_kv(_, blk):
         k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
         v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h)
-        return k, v
+        return None, (k, v)
 
-    ck, cv = jax.vmap(cross_kv, in_axes=(0,))(dec["blocks"])
-    shape = (cfg.decoder_layers, b, max_len, h, dh)
+    _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])
+    shape = (cfg.decoder_layers, b * beam_expand, max_len, h, dh)
     return DecodeCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), cross_k=ck, cross_v=cv
     )
+
+
+def _cross_attention(q, ck, cv):
+    """Cross-attention where q rows may be beam-grouped.
+
+    q: (BK, T, H, Dh); ck/cv: (B, S, H, Dh) with BK = B * K.  Beams of
+    the same audio attend the same K/V without materializing a B*K copy.
+    """
+    bk, t, h, dh = q.shape
+    b = ck.shape[0]
+    if bk == b:
+        return _attention(q, ck, cv)
+    k_group = bk // b
+    qg = q.reshape(b, k_group * t, h, dh)
+    out = _attention(qg, ck, cv)
+    return out.reshape(bk, t, h, dh)
 
 
 def decode_step(params: Params, cfg: WhisperConfig, tokens, pos, cache: DecodeCache,
@@ -295,7 +319,7 @@ def decode_step(params: Params, cfg: WhisperConfig, tokens, pos, cache: DecodeCa
 
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
-        cross = _attention(qc, ck, cv)
+        cross = _cross_attention(qc, ck, cv)
         x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         return x, (k_cache, v_cache)
