@@ -66,6 +66,8 @@ def _preset(name, d, enc_l, dec_l, heads, mels=80, vocab=51865):
 
 
 PRESETS = {
+    # dev preset: byte-fallback-tokenizer vocab, micro dims (tests/CI)
+    "micro-test": _preset("micro-test", 64, 2, 2, 4, vocab=1865),
     "tiny": _preset("tiny", 384, 4, 4, 6),
     "tiny.en": _preset("tiny.en", 384, 4, 4, 6, vocab=51864),
     "base": _preset("base", 512, 6, 6, 8),
