@@ -71,17 +71,18 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
 
     jitted = jax.jit(full_pipeline)
 
-    # compile
+    # compile (host fetch forces full execution; block_until_ready alone
+    # does not synchronize through the axon remote-execution relay)
     t0 = time.perf_counter()
     out = jitted(params, audio, prompt, pad, key)
-    jax.block_until_ready(out)
+    np.asarray(out["tokens"])
     compile_time = time.perf_counter() - t0
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = jitted(params, audio, prompt, pad, key)
-        jax.block_until_ready(out)
+        np.asarray(out["tokens"])
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
@@ -101,7 +102,7 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="large-v3")
-    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--decode-tokens", type=int, default=128)
     parser.add_argument("--beam", type=int, default=5)
     parser.add_argument("--compute", default="bfloat16")

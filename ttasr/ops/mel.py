@@ -93,14 +93,10 @@ def _dft_basis(n_fft: int = N_FFT):
 
 @lru_cache(maxsize=4)
 def _device_constants(n_mels: int):
-    import jax.numpy as jnp
-
+    # numpy (not device) arrays: caching device arrays created under a
+    # jit trace leaks tracers.
     cos, sin = _dft_basis()
-    return (
-        jnp.asarray(cos),
-        jnp.asarray(sin),
-        jnp.asarray(mel_filter_bank(n_mels)),
-    )
+    return cos, sin, mel_filter_bank(n_mels)
 
 
 def log_mel_spectrogram(audio, n_mels: int = 80, *, pad_to_chunk: bool = True):
@@ -144,7 +140,8 @@ def log_mel_spectrogram(audio, n_mels: int = 80, *, pad_to_chunk: bool = True):
     idx = starts[:, None] + jnp.arange(N_FFT)[None, :]
     frames = padded[:, idx]
 
-    cos, sin, fb = _device_constants(n_mels)
+    cos_np, sin_np, fb_np = _device_constants(n_mels)
+    cos, sin, fb = jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(fb_np)
     prec = jax.lax.Precision.HIGHEST
     re = jnp.matmul(frames, cos, precision=prec)
     im = jnp.matmul(frames, sin, precision=prec)
