@@ -1,0 +1,107 @@
+"""Continuous-batching server tests: concurrency, slot packing, parity
+with direct decode."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from ttasr.engine.serving import BatchServer
+from ttasr.engine.transcriber import WhisperEngine
+from ttasr.models.whisper.config import WhisperConfig
+from ttasr.models.whisper.model import init_params
+from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+TOK = build_byte_fallback_tokenizer()
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = WhisperConfig(
+        name="micro", vocab_size=TOK.vocab_size, num_mel_bins=80,
+        d_model=64, encoder_layers=2, encoder_heads=4,
+        decoder_layers=2, decoder_heads=4, ffn_dim=128,
+    )
+    params = init_params(cfg, seed=0)
+    return WhisperEngine("micro", params=params, config=cfg, tokenizer=TOK)
+
+
+def _audio(seed, seconds=1.0):
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    t = np.arange(n) / 16000
+    return (0.3 * np.sin(2 * np.pi * (200 + seed * 50) * t)
+            + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_concurrent_requests_batched(engine):
+    async def run():
+        server = BatchServer(engine, slots=4, beam_size=1, sample_len=8,
+                             linger_ms=50)
+        await server.start()
+        try:
+            prompt = TOK.sot_sequence("zh", predict_timestamps=True)
+            results = await asyncio.gather(*[
+                server.transcribe_window(_audio(i), prompt) for i in range(6)
+            ])
+            assert len(results) == 6
+            for res in results:
+                assert isinstance(res.tokens, list)
+                assert np.isfinite(res.sum_logprob)
+            stats = server.stats
+            assert stats["served"] == 6
+            # 6 requests in 4-slot batches -> at most 3 steps (batching worked)
+            assert stats["steps"] <= 3
+        finally:
+            await server.stop()
+    asyncio.run(run())
+
+
+def test_server_matches_direct_decode(engine):
+    """A request served through slot packing must equal a direct call with
+    the same slot layout semantics (same tokens for the same audio)."""
+    import jax
+
+    from ttasr.models.whisper.decode import (
+        DecodingOptions, greedy_decode, pad_prompts,
+    )
+    from ttasr.models.whisper.model import encode
+    from ttasr.ops.mel import N_SAMPLES, log_mel_spectrogram
+
+    audio = _audio(1)
+    prompt_ids = TOK.sot_sequence("zh", predict_timestamps=True)
+
+    async def run():
+        server = BatchServer(engine, slots=2, beam_size=1, sample_len=8,
+                             linger_ms=1)
+        await server.start()
+        try:
+            return await server.transcribe_window(audio, prompt_ids)
+        finally:
+            await server.stop()
+
+    served = asyncio.run(run())
+
+    padded = np.zeros((2, N_SAMPLES), np.float32)
+    padded[0, : len(audio)] = audio
+    mel = log_mel_spectrogram(padded, n_mels=engine.cfg.num_mel_bins)
+    enc = encode(engine.params, engine.cfg, mel)
+    prompt, pad = pad_prompts([prompt_ids, prompt_ids], TOK.eot)
+    out = greedy_decode(
+        engine.params, engine.cfg, enc, prompt, pad, jax.random.PRNGKey(0),
+        opts=DecodingOptions(beam_size=1, sample_len=8), ti=engine.ti,
+    )
+    direct = [int(t) for t in np.asarray(out["tokens"])[0, : int(out["lengths"][0])]]
+    assert served.tokens == direct
+
+
+def test_error_propagates(engine):
+    async def run():
+        server = BatchServer(engine, slots=2, beam_size=1, sample_len=8)
+        await server.start()
+        try:
+            with pytest.raises(Exception):
+                await server.transcribe_window("not audio", [TOK.sot])
+        finally:
+            await server.stop()
+    asyncio.run(run())

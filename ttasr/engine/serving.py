@@ -1,0 +1,185 @@
+"""Continuous-batching serving core.
+
+The reference serves concurrent work by spawning asyncio tasks that each
+call CT2 independently (api/file_asr.py:543, buffering_strategies.py:81-89)
+— every request pays full model cost and the event loop blocks (SURVEY.md
+§3.2).  The TPU-native design instead runs ONE persistent compiled decode
+program with fixed-shape slots:
+
+- requests (30 s windows + prompts) enter an asyncio queue,
+- a collator packs up to ``slots`` requests per step (idle slots get
+  zero audio), so arbitrary concurrency rides a single compilation,
+- the jitted mel+encode+decode pipeline runs in a worker thread (the
+  event loop never blocks), and each request's future resolves with its
+  row of the batch.
+
+This is the engine behind both the task API worker and the streaming
+WS partials; the 30 s window shape means "long context" is horizontal
+scaling of slots, not long attention (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+import threading
+import time
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from ttasr.models.whisper.decode import (
+    DecodingOptions,
+    TokenizerInfo,
+    beam_decode,
+    greedy_decode,
+    pad_prompts,
+)
+from ttasr.models.whisper.model import encode
+from ttasr.ops.mel import N_SAMPLES, log_mel_spectrogram
+
+logger = logging.getLogger("ttasr.serving")
+
+
+@dataclasses.dataclass
+class WindowRequest:
+    audio: np.ndarray                  # <= 30 s float32 mono 16 kHz
+    prompt_ids: Sequence[int]
+    future: "asyncio.Future"
+    loop: "asyncio.AbstractEventLoop"
+    submitted_at: float = dataclasses.field(default_factory=time.time)
+
+
+@dataclasses.dataclass
+class WindowResult:
+    tokens: List[int]
+    sum_logprob: float
+    avg_logprob: float
+    no_speech_prob: float
+
+
+class BatchServer:
+    """Persistent fixed-slot decode server over one WhisperEngine."""
+
+    def __init__(self, engine, *, slots: int = 4, beam_size: int = 5,
+                 sample_len: int = 224, linger_ms: float = 5.0,
+                 without_timestamps: bool = False):
+        self.engine = engine
+        self.slots = slots
+        self.linger_s = linger_ms / 1000.0
+        self.ti = engine.ti
+        self.opts = DecodingOptions(
+            beam_size=beam_size, sample_len=sample_len,
+            without_timestamps=without_timestamps,
+        )
+        self._queue: "asyncio.Queue[WindowRequest]" = None
+        self._worker_task = None
+        self._stop = False
+        self._steps = 0
+        self._served = 0
+
+    # -- lifecycle ----------------------------------------------------------
+
+    async def start(self) -> None:
+        self._queue = asyncio.Queue()
+        self._stop = False
+        self._worker_task = asyncio.get_running_loop().create_task(self._run())
+
+    async def stop(self) -> None:
+        self._stop = True
+        if self._worker_task:
+            self._worker_task.cancel()
+            try:
+                await self._worker_task
+            except asyncio.CancelledError:
+                pass
+
+    @property
+    def stats(self) -> dict:
+        return {"steps": self._steps, "served": self._served,
+                "slots": self.slots, "pending": self._queue.qsize()
+                if self._queue else 0}
+
+    # -- request path --------------------------------------------------------
+
+    async def transcribe_window(self, audio: np.ndarray,
+                                prompt_ids: Sequence[int]) -> WindowResult:
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        await self._queue.put(WindowRequest(audio, list(prompt_ids), fut, loop))
+        return await fut
+
+    # -- batching loop ---------------------------------------------------------
+
+    async def _run(self) -> None:
+        while not self._stop:
+            first = await self._queue.get()
+            batch = [first]
+            deadline = time.time() + self.linger_s
+            while len(batch) < self.slots:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(
+                        self._queue.get(), timeout=timeout))
+                except asyncio.TimeoutError:
+                    break
+            try:
+                results = await asyncio.get_running_loop().run_in_executor(
+                    None, self._decode_batch, batch
+                )
+                for req, res in zip(batch, results):
+                    if not req.future.done():
+                        req.future.set_result(res)
+            except Exception as exc:
+                logger.exception("batch decode failed")
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+            self._steps += 1
+            self._served += len(batch)
+
+    # -- device work (runs in executor thread) -------------------------------
+
+    def _decode_batch(self, batch: List[WindowRequest]) -> List[WindowResult]:
+        import jax
+
+        engine = self.engine
+        n = len(batch)
+        audio = np.zeros((self.slots, N_SAMPLES), np.float32)
+        prompts: List[Sequence[int]] = []
+        for i, req in enumerate(batch):
+            a = np.asarray(req.audio, np.float32)[:N_SAMPLES]
+            audio[i, : len(a)] = a
+            prompts.append(req.prompt_ids)
+        # idle slots: minimal prompt, zero audio
+        filler = engine.tokenizer.sot_sequence(
+            "zh", "transcribe",
+            predict_timestamps=not self.opts.without_timestamps)
+        for _ in range(n, self.slots):
+            prompts.append(filler)
+
+        mel = log_mel_spectrogram(audio, n_mels=engine.cfg.num_mel_bins)
+        enc_out = encode(engine.params, engine.cfg, mel)
+        prompt, pad = pad_prompts(prompts, self.ti.eot)
+        rng = jax.random.PRNGKey(self._steps)
+        decode = beam_decode if self.opts.beam_size > 1 else greedy_decode
+        out = decode(engine.params, engine.cfg, enc_out, prompt, pad, rng,
+                     opts=self.opts, ti=self.ti)
+        tokens = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        sum_logprob = np.asarray(out["sum_logprob"])
+        no_speech = np.asarray(out["no_speech_prob"])
+
+        results = []
+        for i in range(n):
+            tl = [int(t) for t in tokens[i, : lengths[i]]]
+            results.append(WindowResult(
+                tokens=tl,
+                sum_logprob=float(sum_logprob[i]),
+                avg_logprob=float(sum_logprob[i]) / (len(tl) + 1),
+                no_speech_prob=float(no_speech[i]),
+            ))
+        return results
