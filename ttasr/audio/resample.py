@@ -20,9 +20,21 @@ def _gcd_ratio(sr_from: int, sr_to: int):
 
 
 def resample_poly_host(audio: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
-    """Polyphase resampling on host, float32 in/out."""
+    """Polyphase resampling on host, float32 in/out.
+
+    Order of preference: the ttasr C++ library (ttasr/native), scipy,
+    pure-numpy windowed sinc.
+    """
     if sr_from == sr_to:
         return np.asarray(audio, dtype=np.float32)
+    try:
+        from ttasr import native
+
+        out = native.resample(np.asarray(audio, np.float32), sr_from, sr_to)
+        if out is not None:
+            return out
+    except Exception:  # pragma: no cover - fall through to scipy
+        pass
     up, down = _gcd_ratio(sr_from, sr_to)
     try:
         from scipy.signal import resample_poly

@@ -251,17 +251,27 @@ def cer_metric(references: List[str], hypotheses: List[str], *, clean: bool = Fa
 
     ``clean=True`` applies :func:`clean_text` first.
     """
+    _lev = None
     try:
-        from Levenshtein import distance as _lev
-    except ImportError:  # pragma: no cover - Levenshtein is in the base image
-        def _lev(a: str, b: str) -> int:
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
-                prev = cur
-            return prev[-1]
+        from ttasr import native
+
+        if native.available():
+            _lev = native.levenshtein
+    except Exception:  # pragma: no cover
+        pass
+    if _lev is None:
+        try:
+            from Levenshtein import distance as _lev
+        except ImportError:  # pragma: no cover
+            def _lev(a: str, b: str) -> int:
+                prev = list(range(len(b) + 1))
+                for i, ca in enumerate(a, 1):
+                    cur = [i]
+                    for j, cb in enumerate(b, 1):
+                        cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                       prev[j - 1] + (ca != cb)))
+                    prev = cur
+                return prev[-1]
 
     total_edits = 0
     total_chars = 0
