@@ -101,6 +101,10 @@ class WhisperEngine:
             self.params, self.cfg = params, config
         else:
             self.params, self.cfg = load_whisper(model_path_or_name, dtype=dtype)
+        if compute_type == "int8":
+            from ttasr.ops.quant import quantize_params
+
+            self.params = quantize_params(self.params)
         self.tokenizer = tokenizer or load_tokenizer(
             model_path_or_name if isinstance(model_path_or_name, str) else None
         )

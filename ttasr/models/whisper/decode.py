@@ -38,11 +38,14 @@ from ttasr.models.whisper.model import (
     DecodeCache,
     _attention,
     _cross_attention,
+    _embed_lookup,
     _ln,
     _merge_heads,
     _mlp,
+    _model_dtype,
     _proj,
     _split_heads,
+    _unembed,
     init_cache,
 )
 
@@ -111,8 +114,8 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
     dec = params["decoder"]
     b, t = tokens.shape
     pos_ids = jnp.maximum(jnp.arange(t)[None, :] - pad_len[:, None], 0)
-    x = dec["embed"][tokens] + dec["pos"][pos_ids]
-    x = x.astype(dec["embed"].dtype)
+    x = _embed_lookup(dec, tokens) + dec["pos"][pos_ids]
+    x = x.astype(_model_dtype(dec))
 
     q_ids = jnp.arange(t)[None, :, None]       # (1, T, 1) global slot of query
     k_ids = jnp.arange(t)[None, None, :]       # (1, 1, T) global slot of key
@@ -146,9 +149,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
 def _logits_at(params, hidden):
     """Project selected hidden rows (N, d) to vocab logits (N, V) —
     avoids materializing (N, MAX_PROMPT, V) prefill logits."""
-    dec = params["decoder"]
-    return jnp.matmul(hidden, dec["embed"].T.astype(hidden.dtype),
-                      preferred_element_type=jnp.float32)
+    return _unembed(hidden, params["decoder"])
 
 
 def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
@@ -160,8 +161,8 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
     b = token.shape[0]
     max_len = cache.k.shape[2]
     pos = jnp.maximum(slot - pad_len, 0)       # (B,) real positional index
-    x = dec["embed"][token] + dec["pos"][pos][:, None, :]
-    x = x.astype(dec["embed"].dtype)
+    x = _embed_lookup(dec, token) + dec["pos"][pos][:, None, :]
+    x = x.astype(_model_dtype(dec))
 
     k_ids = jnp.arange(max_len)[None, :]
     mask = ((k_ids <= slot) & (k_ids >= pad_len[:, None]))[:, None, None]  # (B,1,1,T)
@@ -186,8 +187,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
     )
     x = _ln(x, dec["ln_s"], dec["ln_b"])
-    logits = jnp.matmul(x[:, 0], dec["embed"].T.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
+    logits = _unembed(x[:, 0], dec)
     return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ttasr.models.whisper.config import WhisperConfig
+from ttasr.ops.quant import is_quantized, quant_matmul
 
 Params = Dict[str, Any]
 
@@ -115,10 +116,38 @@ def _ln(x, scale, bias, eps=1e-5):
 
 
 def _proj(x, w, b=None):
-    out = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if is_quantized(w):
+        out = quant_matmul(x, w)
+    else:
+        out = jnp.matmul(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def _model_dtype(dec) -> jnp.dtype:
+    """Compute dtype of the decoder (robust to quantized embed)."""
+    return dec["pos"].dtype
+
+
+def _embed_lookup(dec, tokens):
+    """Token embedding gather, quantization-aware."""
+    e = dec["embed"]
+    if is_quantized(e):
+        return (e["q"][tokens].astype(jnp.float32) * e["s"][tokens]).astype(
+            _model_dtype(dec)
+        )
+    return e[tokens]
+
+
+def _unembed(x, dec):
+    """Hidden states -> vocab logits via the (tied) embedding matrix."""
+    e = dec["embed"]
+    if is_quantized(e):
+        logits = jnp.matmul(x, e["q"].T.astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+        return logits * e["s"][:, 0][None, :]
+    return jnp.matmul(x, e.T.astype(x.dtype), preferred_element_type=jnp.float32)
 
 
 def _split_heads(x, n_heads):
@@ -200,8 +229,8 @@ def decode_train(params: Params, cfg: WhisperConfig, tokens, enc_out, *,
     """Full-sequence decoder pass. tokens: (B, T) int32 -> logits (B, T, V)."""
     dec = params["decoder"]
     b, t = tokens.shape
-    x = dec["embed"][tokens] + dec["pos"][positions_offset : positions_offset + t]
-    x = x.astype(dec["embed"].dtype)
+    x = _embed_lookup(dec, tokens) + dec["pos"][positions_offset : positions_offset + t]
+    x = x.astype(_model_dtype(dec))
     causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
 
     def block(x, blk):
@@ -219,9 +248,7 @@ def decode_train(params: Params, cfg: WhisperConfig, tokens, enc_out, *,
     body = jax.checkpoint(block) if remat else block
     x, _ = jax.lax.scan(body, x, dec["blocks"])
     x = _ln(x, dec["ln_s"], dec["ln_b"])
-    logits = jnp.matmul(x, dec["embed"].T.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-    return logits
+    return _unembed(x, dec)
 
 
 # ---------------------------------------------------------------------------
@@ -296,10 +323,10 @@ def decode_step(params: Params, cfg: WhisperConfig, tokens, pos, cache: DecodeCa
     dec = params["decoder"]
     b, t_new = tokens.shape
     max_len = cache.k.shape[2]
-    x = dec["embed"][tokens] + jax.lax.dynamic_slice_in_dim(
+    x = _embed_lookup(dec, tokens) + jax.lax.dynamic_slice_in_dim(
         dec["pos"], pos, t_new, axis=0
     )
-    x = x.astype(dec["embed"].dtype)
+    x = x.astype(_model_dtype(dec))
 
     # Mask over cache positions: key j visible to query i when j <= pos + i.
     q_ids = pos + jnp.arange(t_new)[:, None]
@@ -328,8 +355,7 @@ def decode_step(params: Params, cfg: WhisperConfig, tokens, pos, cache: DecodeCa
         scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
     )
     x = _ln(x, dec["ln_s"], dec["ln_b"])
-    logits = jnp.matmul(x, dec["embed"].T.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
+    logits = _unembed(x, dec)
     return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
 
 

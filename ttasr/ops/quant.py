@@ -1,0 +1,85 @@
+"""int8 weight quantization for HBM-resident params.
+
+Decode on TPU is HBM-bandwidth-bound: every step streams the decoder
+weights (and cross-KV) from HBM.  Storing matmul weights as int8 with
+per-output-channel scales halves that traffic vs bf16 — the same lever
+CTranslate2's int8 mode uses on CPU/GPU (reference runs ``compute_type
+="int8"`` for the task API, file_asr.py:188).
+
+Scheme: symmetric per-output-channel absmax.  A quantized leaf is
+``{"q": int8 (..., in, out), "s": f32 (..., 1, out)}``; the matmul
+converts int8->bf16 in registers (XLA fuses the convert into the matmul
+read) and applies the scale to the f32 accumulator.  LayerNorms, biases,
+conv stems and positional tables stay in bf16/f32 (negligible bytes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+# matmul weight leaves eligible for quantization
+QUANT_KEYS = frozenset({
+    "wq", "wk", "wv", "wo", "w1", "w2",
+    "wq_c", "wk_c", "wv_c", "wo_c", "embed",
+})
+
+
+def quantize_tensor(w, axis: int = -2) -> Dict[str, Any]:
+    """Symmetric per-output-channel int8 quantization.
+
+    ``axis`` is the contraction (input) dimension; scales are computed
+    over it, leaving one scale per output channel.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.astype(jnp.float32)}
+
+
+def dequantize_tensor(leaf: Dict[str, Any], dtype=jnp.float32):
+    return (leaf["q"].astype(jnp.float32) * leaf["s"]).astype(dtype)
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
+
+
+def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize all matmul weights of a Whisper param tree.
+
+    ``embed`` is quantized over its feature dim (it acts as both an
+    embedding gather and the logits projection).
+    """
+
+    def walk(tree, out):
+        for key, leaf in tree.items():
+            if isinstance(leaf, dict):
+                out[key] = {}
+                walk(leaf, out[key])
+            elif key in QUANT_KEYS:
+                if key == "embed":  # (V, d): scale per vocab row
+                    out[key] = quantize_tensor(leaf, axis=-1)
+                else:
+                    out[key] = quantize_tensor(leaf, axis=-2)
+            else:
+                out[key] = leaf
+        return out
+
+    return walk(params, {})
+
+
+def quant_matmul(x, leaf, preferred=jnp.float32):
+    """x @ W for a quantized leaf; int8 streams from HBM, f32 accumulate."""
+    q = leaf["q"].astype(x.dtype)
+    out = jnp.matmul(x, q, preferred_element_type=preferred)
+    # per-output-channel scale: s is (..., 1, out) -> broadcast over rows
+    scale = leaf["s"]
+    if scale.ndim == out.ndim:
+        out = out * scale
+    else:
+        out = out * scale.reshape(scale.shape[:-2] + (scale.shape[-1],))[..., None, :]
+    return out

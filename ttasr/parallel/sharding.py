@@ -64,7 +64,20 @@ def param_pspecs(params) -> Dict:
         keys = tuple(
             p.key if hasattr(p, "key") else str(p) for p in path
         )
-        return _leaf_spec(keys[-1], getattr(leaf, "ndim", 0), keys)
+        name = keys[-1]
+        if name in ("q", "s") and len(keys) >= 2:
+            # quantized leaf: the parent carries the weight name; scale
+            # tensors ("s") of column-split weights shard like biases.
+            parent = keys[-2]
+            if name == "s":
+                from jax.sharding import PartitionSpec as P
+
+                if parent in _COL_SPLIT:
+                    return (P(None, None, "model") if "blocks" in keys
+                            else P(None, "model"))
+                return P()
+            name = parent
+        return _leaf_spec(name, getattr(leaf, "ndim", 0), keys)
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
