@@ -38,9 +38,14 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
     from ttasr.ops.mel import N_SAMPLES, log_mel_spectrogram
     from ttasr.text.tokenizer import build_byte_fallback_tokenizer
 
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute]
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "int8": jnp.bfloat16}[compute]
     cfg = get_config(model_name)
     params = init_params(cfg, seed=0, dtype=dtype)
+    if compute == "int8":
+        from ttasr.ops.quant import quantize_params
+
+        params = quantize_params(params)
     tok = build_byte_fallback_tokenizer()
 
     # Force full-length decode: report throughput at a fixed token budget.

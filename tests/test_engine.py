@@ -121,3 +121,18 @@ def test_srt_timestamp_rounding_carry():
     assert format_srt_timestamp(3599.9995) == "01:00:00,000"
     assert format_srt_timestamp(None) == "00:00:00,000"
     assert format_srt_timestamp(-5) == "00:00:00,000"
+
+
+def test_word_timestamps(engine):
+    segments, info = engine.transcribe(
+        _speechy_audio(2.0), language="zh", beam_size=1, vad_filter=False,
+        word_timestamps=True, max_new_tokens=8, temperature=(0.0,),
+    )
+    for seg in segments:
+        assert seg.words is not None
+        for w in seg.words:
+            assert w.end >= w.start >= 0
+            assert isinstance(w.word, str) and w.word
+        # words ordered in time
+        starts = [w.start for w in seg.words]
+        assert starts == sorted(starts)

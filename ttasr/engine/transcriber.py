@@ -274,15 +274,26 @@ class WhisperEngine:
             new_segments, seek_advance = self._parse_window_tokens(
                 tokens, time_offset, segment_duration, segment_frames
             )
+            window_words = None
+            if opts.word_timestamps and any(s[0] for s in new_segments):
+                window_words = self._align_window_words(
+                    [t for s in new_segments for t in s[0]], enc_out, time_offset
+                )
             for s_tokens, s_start, s_end in new_segments:
                 text = tok.decode(s_tokens)
                 if not text.strip():
                     continue
+                seg_words = None
+                if window_words is not None:
+                    seg_words = [
+                        w for w in window_words
+                        if s_start - 0.01 <= (w.start + w.end) / 2 <= s_end + 0.5
+                    ]
                 segments.append(Segment(
                     id=seg_id, seek=seek, start=s_start, end=s_end, text=text,
                     tokens=s_tokens, avg_logprob=avg_logprob,
                     compression_ratio=ratio, no_speech_prob=no_speech_prob,
-                    temperature=temperature,
+                    temperature=temperature, words=seg_words,
                 ))
                 seg_id += 1
                 all_tokens.extend(s_tokens)
@@ -293,6 +304,26 @@ class WhisperEngine:
             seek += seek_advance
 
         return segments
+
+    def _align_window_words(self, text_tokens: List[int], enc_out,
+                            time_offset: float):
+        """Cross-attention DTW word timestamps for one window."""
+        from ttasr.engine.results import Word
+        from ttasr.models.whisper.align import align_tokens, merge_tokens_to_words
+
+        try:
+            timings = align_tokens(
+                self.params, self.cfg, self.tokenizer, text_tokens, enc_out
+            )
+            words = merge_tokens_to_words(self.tokenizer, timings)
+        except Exception:
+            logger.exception("word alignment failed; words omitted")
+            return []
+        return [
+            Word(start=w["start"] + time_offset, end=w["end"] + time_offset,
+                 word=w["word"])
+            for w in words
+        ]
 
     def _parse_window_tokens(self, tokens: List[int], time_offset: float,
                              segment_duration: float, segment_frames: int):
