@@ -1,0 +1,153 @@
+"""Coverage for auxiliary surface: streaming utils, doctor, config tree,
+standalone server wiring, logging setups."""
+
+import asyncio
+import json
+import os
+
+import pytest
+
+
+def test_streaming_utils_srt():
+    from ttasr.streaming.utils import (
+        list_to_plain_text,
+        list_to_srt_text,
+        srt_format_timestamp,
+    )
+
+    # unpadded hour format (reference utils.py:8-21)
+    assert srt_format_timestamp(0.0) == "0:00:00,000"
+    assert srt_format_timestamp(3661.5) == "1:01:01,500"
+    subs = [{"startTime": 0.0, "endTime": 1.0, "text": "你好"}]
+    srt = list_to_srt_text(subs)
+    assert "1\n0:00:00,000 --> 0:00:01,000\n你好\n\n" == srt
+    assert list_to_plain_text(subs) == "你好\n"
+
+
+def test_convert_transcript_to_subtitles(tmp_path):
+    from ttasr.streaming.utils import convert_transcript_to_subtitles
+
+    path = tmp_path / "t.json"
+    path.write_text(json.dumps([
+        {"startTime": 0.0, "endTime": 1.5, "text": "a"},
+        {"startTime": 1.5, "endTime": 3.0, "text": "b"},
+    ]), encoding="utf-8")
+    duration, srt_path, txt_path = convert_transcript_to_subtitles(str(path))
+    assert duration == 3.0
+    assert os.path.exists(srt_path) and os.path.exists(txt_path)
+
+
+def test_create_today_folders(tmp_path):
+    from ttasr.streaming.utils import create_today_folders
+
+    out = create_today_folders(str(tmp_path), "job42")
+    assert os.path.isdir(out) and out.endswith("job42")
+
+
+def test_transfer_formats():
+    from ttasr.streaming.utils import transfer_offline_format, transfer_streaming_format
+
+    assert transfer_streaming_format([]) is None
+    res = transfer_streaming_format([{"startTime": 0, "endTime": 1, "text": "x"}])
+    assert res == [{"startTime": 0, "endTime": 1, "text": "x", "final": True}]
+    off = transfer_offline_format({"segments": [
+        {"start": 0, "end": 1, "text": "ok"},
+        {"start": 1, "end": 2, "text": "喜歡請訂閱"},  # filtered
+    ]})
+    assert off == [{"startTime": 0, "endTime": 1, "text": "ok", "final": True}]
+
+
+def test_doctor_report(tmp_path, capsys):
+    from ttasr.cli.doctor import main
+
+    report = main(["--model-dir", str(tmp_path / "nope")])
+    assert report["modules"]["jax"] == "ok"
+    assert report["model_dir"]["exists"] is False
+    assert report["native"]["built"] in (True, False)
+
+
+def test_config_tree(monkeypatch):
+    from ttasr.core.config import load_config
+
+    monkeypatch.setenv("BUFFERING_CHUNK_LENGTH_SECONDS", "2.5")
+    monkeypatch.setenv("TTASR_MAX_STREAMS", "7")
+    cfg = load_config()
+    assert cfg.streaming.chunk_length_seconds == 2.5
+    assert cfg.streaming.max_streams == 7
+    assert cfg.auth.jwt_algorithm == "HS256"
+
+
+def test_standalone_server_flow():
+    """Drive Server.handle_connection with a fake websocket."""
+    from ttasr.streaming.server import Server
+    from ttasr.streaming.vad.simple_vad import SimpleVAD
+
+    class EchoASR:
+        async def transcribe(self, client):
+            return {"text": "hi", "duration": 0.5, "language": "zh",
+                    "language_probability": 1.0, "final": True, "words": []}
+
+    class FakeWS:
+        def __init__(self, messages):
+            self.messages = list(messages)
+            self.sent = []
+
+        def __aiter__(self):
+            return self
+
+        async def __anext__(self):
+            if not self.messages:
+                raise StopAsyncIteration
+            return self.messages.pop(0)
+
+        async def send(self, text):
+            self.sent.append(json.loads(text))
+
+        async def close(self):
+            pass
+
+    server = Server(SimpleVAD(min_duration=0.01), EchoASR())
+    pcm = b"\x00\x01" * 16000 * 3  # 3s of audio -> exceeds 1.5s chunk and 2s VAD gate
+    ws = FakeWS([json.dumps({"type": "config", "data": {"language": "zh"}}), pcm])
+
+    async def run():
+        await server.handle_connection(ws)
+        await asyncio.sleep(0.1)  # let the chunk task finish
+
+    asyncio.run(run())
+    codes = [m.get("code") for m in ws.sent]
+    assert 100 in codes and 200 in codes
+    # a transcription payload arrived
+    assert any(m.get("result") for m in ws.sent)
+
+
+def test_logging_setups(tmp_path):
+    from ttasr.core.logging import setup_api_logging, setup_hourly_logging
+
+    logger = setup_api_logging(str(tmp_path), name="test_api_log")
+    logger.info("hello")
+    logger.error("bad")
+    for h in logger.handlers:
+        h.flush()
+    assert (tmp_path / "test_api_log.log").exists()
+    assert "bad" in (tmp_path / "test_api_log_error.log").read_text()
+
+    hourly = setup_hourly_logging(str(tmp_path / "h" / "x.log"), name="test_hourly")
+    hourly.info("tick")
+    for h in hourly.handlers:
+        h.flush()
+    assert (tmp_path / "h" / "x.log").exists()
+
+
+def test_stage_timer():
+    from ttasr.core.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("mel"):
+        pass
+    with t.stage("mel"):
+        pass
+    snap = t.snapshot()
+    assert snap["mel"]["count"] == 2
+    t.reset()
+    assert t.snapshot() == {}
