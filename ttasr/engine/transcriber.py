@@ -124,7 +124,6 @@ class WhisperEngine:
         prompt, pad = pad_prompts([prompt_ids], self.ti.eot)
         dec_opts = DecodingOptions(
             beam_size=opts.beam_size,
-            temperature=temperature,
             length_penalty=opts.length_penalty,
             patience=opts.patience,
             without_timestamps=opts.without_timestamps,
@@ -135,8 +134,10 @@ class WhisperEngine:
             out = beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
                               opts=dec_opts, ti=self.ti)
         else:
-            out = greedy_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
-                                opts=dec_opts, ti=self.ti)
+            # temperature is traced: the whole fallback ladder shares one
+            # compiled greedy program
+            out = greedy_decode(self.params, self.cfg, enc_out, prompt, pad,
+                                rng, temperature, opts=dec_opts, ti=self.ti)
         n = int(out["lengths"][0])
         tokens = [int(t) for t in np.asarray(out["tokens"])[0, :n]]
         sum_logprob = float(out["sum_logprob"][0])

@@ -62,7 +62,7 @@ class DecodingOptions:
     """Static decode configuration (hashable: used as a jit static arg)."""
 
     beam_size: int = 5
-    temperature: float = 0.0
+    temperature: float = 0.0  # 0 = deterministic; >0 enables sampling ops
     length_penalty: float = 1.0
     patience: float = 1.0
     without_timestamps: bool = False
@@ -270,18 +270,25 @@ def _apply_rules(logits, *, ti: TokenizerInfo, opts: DecodingOptions,
 
 @partial(jax.jit, static_argnames=("cfg", "opts", "ti"))
 def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
-                  *, opts: DecodingOptions, ti: TokenizerInfo):
+                  temperature=None, *, opts: DecodingOptions,
+                  ti: TokenizerInfo):
     """Greedy / temperature-sampled decode of one batch of 30 s windows.
 
     Args:
       enc_out: (B, 1500, d).
       prompt: (B, MAX_PROMPT) left-padded prompt (pad value irrelevant).
       pad_len: (B,) number of pad slots.
-      rng: PRNG key (used when opts.temperature > 0).
+      rng: PRNG key (used when sampling).
+      temperature: traced scalar; defaults to ``opts.temperature``.  Being
+        traced, the whole temperature-fallback ladder reuses ONE compile.
 
     Returns dict with tokens (B, sample_len), lengths, sum_logprob,
     no_speech_prob.
     """
+    if temperature is None:
+        temperature = jnp.asarray(opts.temperature, jnp.float32)
+    else:
+        temperature = jnp.asarray(temperature, jnp.float32)
     b = enc_out.shape[0]
     max_prompt = prompt.shape[1]
     cache = init_cache(params, cfg, enc_out,
@@ -330,14 +337,12 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
             max_ts_tok=s["max_ts"],
         )
         logprobs = jax.nn.log_softmax(logits, axis=-1)
-        if opts.temperature == 0.0:
-            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            new_rng = s["rng"]
-        else:
-            new_rng, sub = jax.random.split(s["rng"])
-            next_tok = jax.random.categorical(
-                sub, logits / opts.temperature, axis=-1
-            ).astype(jnp.int32)
+        new_rng, sub = jax.random.split(s["rng"])
+        greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled_tok = jax.random.categorical(
+            sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+        ).astype(jnp.int32)
+        next_tok = jnp.where(temperature > 0.0, sampled_tok, greedy_tok)
         tok_logprob = jnp.take_along_axis(
             logprobs, next_tok[:, None], axis=1
         )[:, 0]
