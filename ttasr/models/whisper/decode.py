@@ -44,9 +44,11 @@ from ttasr.models.whisper.model import (
     _mlp,
     _model_dtype,
     _proj,
+    _quant_self_attention,
     _split_heads,
     _unembed,
     init_cache,
+    quantize_kv,
 )
 
 NEG_INF = float(np.finfo(np.float32).min)
@@ -70,6 +72,7 @@ class DecodingOptions:
     suppress_blank: bool = True
     sample_len: int = SAMPLE_LEN
     max_prompt: int = MAX_PROMPT
+    kv_int8: bool = False  # int8 self-KV cache: halves decode HBM traffic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,27 +126,53 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
     causal = k_ids <= q_ids
     mask = (causal & valid)[:, None]           # (B, 1, T, T)
 
+    quantized = cache.quantized
+
     def scan_block(x, scanned):
-        blk, k_cache, v_cache, ck, cv = scanned
+        if quantized:
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv = scanned
+        else:
+            blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
         q = _split_heads(_proj(h, blk["wq"], blk["bq"]), cfg.decoder_heads)
         k_new = _split_heads(_proj(h, blk["wk"]), cfg.decoder_heads)
         v_new = _split_heads(_proj(h, blk["wv"], blk["bv"]), cfg.decoder_heads)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, 0, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
+        if quantized:
+            k8, k_scale = quantize_kv(k_new)
+            v8, v_scale = quantize_kv(v_new)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k8, 0, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v8, 0, axis=1)
+            ks_cache = jax.lax.dynamic_update_slice_in_dim(ks_cache, k_scale, 0, axis=1)
+            vs_cache = jax.lax.dynamic_update_slice_in_dim(vs_cache, v_scale, 0, axis=1)
+        else:
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, 0, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
+        # prefill attends its own (exact) K/V block
         attn = _attention(q, k_new, v_new, mask)
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
         x = x + _proj(_merge_heads(_cross_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        if quantized:
+            return x, (k_cache, v_cache, ks_cache, vs_cache)
         return x, (k_cache, v_cache)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
-    )
+    if quantized:
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            scan_block, x,
+            (dec["blocks"], cache.k, cache.v, cache.ks, cache.vs,
+             cache.cross_k, cache.cross_v),
+        )
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            scan_block, x,
+            (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v),
+        )
+        new_ks, new_vs = cache.ks, cache.vs
     x = _ln(x, dec["ln_s"], dec["ln_b"])
-    return x, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    return x, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
+                          new_ks, new_vs)
 
 
 def _logits_at(params, hidden):
@@ -167,28 +196,57 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
     k_ids = jnp.arange(max_len)[None, :]
     mask = ((k_ids <= slot) & (k_ids >= pad_len[:, None]))[:, None, None]  # (B,1,1,T)
 
+    quantized = cache.quantized
+
     def scan_block(x, scanned):
-        blk, k_cache, v_cache, ck, cv = scanned
+        if quantized:
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv = scanned
+        else:
+            blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
         q = _split_heads(_proj(h, blk["wq"], blk["bq"]), cfg.decoder_heads)
         k_new = _split_heads(_proj(h, blk["wk"]), cfg.decoder_heads)
         v_new = _split_heads(_proj(h, blk["wv"], blk["bv"]), cfg.decoder_heads)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, slot, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, slot, axis=1)
-        attn = _attention(q, k_cache, v_cache, mask)
+        if quantized:
+            k8, k_scale = quantize_kv(k_new)
+            v8, v_scale = quantize_kv(v_new)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k8, slot, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v8, slot, axis=1)
+            ks_cache = jax.lax.dynamic_update_slice_in_dim(
+                ks_cache, k_scale, slot, axis=1)
+            vs_cache = jax.lax.dynamic_update_slice_in_dim(
+                vs_cache, v_scale, slot, axis=1)
+            attn = _quant_self_attention(q, k_cache, ks_cache, v_cache,
+                                         vs_cache, mask)
+        else:
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, slot, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, slot, axis=1)
+            attn = _attention(q, k_cache, v_cache, mask)
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
         x = x + _proj(_merge_heads(_cross_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        if quantized:
+            return x, (k_cache, v_cache, ks_cache, vs_cache)
         return x, (k_cache, v_cache)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        scan_block, x, (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v)
-    )
+    if quantized:
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            scan_block, x,
+            (dec["blocks"], cache.k, cache.v, cache.ks, cache.vs,
+             cache.cross_k, cache.cross_v),
+        )
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            scan_block, x,
+            (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v),
+        )
+        new_ks, new_vs = cache.ks, cache.vs
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = _unembed(x[:, 0], dec)
-    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
+                               new_ks, new_vs)
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +350,8 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     b = enc_out.shape[0]
     max_prompt = prompt.shape[1]
     cache = init_cache(params, cfg, enc_out,
-                       max_len=max_prompt + opts.sample_len)
+                       max_len=max_prompt + opts.sample_len,
+                       kv_int8=opts.kv_int8)
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache)
 
     # no_speech prob: at the sot position's logits (predicting the token
@@ -396,9 +455,11 @@ def _gather_cache(cache: DecodeCache, idx) -> DecodeCache:
     beams within the same audio, and cross K/V are identical across those
     beams — skipping the gather saves the dominant HBM copy per step.
     """
+    ks = cache.ks[:, idx] if cache.quantized else cache.ks
+    vs = cache.vs[:, idx] if cache.quantized else cache.vs
     return DecodeCache(
         k=cache.k[:, idx], v=cache.v[:, idx],
-        cross_k=cache.cross_k, cross_v=cache.cross_v,
+        cross_k=cache.cross_k, cross_v=cache.cross_v, ks=ks, vs=vs,
     )
 
 
@@ -426,7 +487,8 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 
     max_prompt = prompt.shape[1]
     cache = init_cache(params, cfg, enc_out,
-                       max_len=max_prompt + opts.sample_len, beam_expand=k)
+                       max_len=max_prompt + opts.sample_len, beam_expand=k,
+                       kv_int8=opts.kv_int8)
     hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *

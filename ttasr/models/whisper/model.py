@@ -257,20 +257,50 @@ def decode_train(params: Params, cfg: WhisperConfig, tokens, enc_out, *,
 
 @dataclasses.dataclass
 class DecodeCache:
-    """Fixed-shape KV cache pytree for incremental decoding."""
-    k: jnp.ndarray  # (L, B, max_len, H, Dh)
+    """Fixed-shape KV cache pytree for incremental decoding.
+
+    With ``kv_int8`` the self-attn caches store int8 values plus per
+    (row, slot, head) f32 scales (``ks``/``vs``) — halving the HBM
+    traffic of the per-step cache copy/gather and attention reads, the
+    dominant decode cost (PERF_NOTES.md).  ``ks``/``vs`` are zero-size
+    arrays in the bf16 mode so the pytree structure stays constant.
+    """
+    k: jnp.ndarray  # (L, B, max_len, H, Dh) bf16 or int8
     v: jnp.ndarray
     cross_k: jnp.ndarray  # (L, B, src_len, H, Dh)
     cross_v: jnp.ndarray
+    ks: jnp.ndarray  # (L, B, max_len, H) f32 scales (int8 mode) or (0,)
+    vs: jnp.ndarray
+
+    @property
+    def quantized(self) -> bool:
+        import jax.numpy as _jnp
+
+        return self.k.dtype == _jnp.int8
 
 
 jax.tree_util.register_dataclass(
-    DecodeCache, data_fields=["k", "v", "cross_k", "cross_v"], meta_fields=[]
+    DecodeCache,
+    data_fields=["k", "v", "cross_k", "cross_v", "ks", "vs"],
+    meta_fields=[],
 )
 
 
+def quantize_kv(x):
+    """Per (row, slot, head) symmetric int8 quantization of K/V entries.
+
+    x: (B, T, H, Dh) -> (int8 values, f32 scales (B, T, H)).
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
-               beam_expand: int = 1) -> DecodeCache:
+               beam_expand: int = 1, kv_int8: bool = False) -> DecodeCache:
     """Allocate self-attn cache and precompute cross-attn K/V per layer.
 
     Cross K/V stay at the audio batch size B even when decoding B*K beam
@@ -291,9 +321,45 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
 
     _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])
     shape = (cfg.decoder_layers, b * beam_expand, max_len, h, dh)
+    if kv_int8:
+        scale_shape = shape[:-1]
+        return DecodeCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            cross_k=ck, cross_v=cv,
+            ks=jnp.zeros(scale_shape, jnp.float32),
+            vs=jnp.zeros(scale_shape, jnp.float32),
+        )
+    empty = jnp.zeros((0,), jnp.float32)
     return DecodeCache(
-        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), cross_k=ck, cross_v=cv
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        cross_k=ck, cross_v=cv, ks=empty, vs=empty,
     )
+
+
+def _quant_self_attention(q, k8, ks, v8, vs, mask):
+    """Self-attention over an int8 K/V cache.
+
+    The per-entry scales fold into the score matrix and the attention
+    probabilities (small tensors), so the int8 caches feed the MXU
+    directly — no dequantized K/V temporaries.
+
+    q: (B, T, H, Dh); k8/v8: (B, S, H, Dh) int8; ks/vs: (B, S, H) f32.
+    """
+    scale = q.shape[-1] ** -0.5
+    raw = jnp.einsum("bqhd,bkhd->bhqk", (q * scale).astype(jnp.bfloat16),
+                     k8.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    scores = raw * jnp.swapaxes(ks, 1, 2)[:, :, None, :]  # (B,H,1,S) scales
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs_scaled = (probs * jnp.swapaxes(vs, 1, 2)[:, :, None, :]).astype(
+        jnp.bfloat16
+    )
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs_scaled,
+                     v8.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
 
 
 def _cross_attention(q, ck, cv):
@@ -356,7 +422,8 @@ def decode_step(params: Params, cfg: WhisperConfig, tokens, pos, cache: DecodeCa
     )
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = _unembed(x, dec)
-    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v)
+    return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
+                               cache.ks, cache.vs)
 
 
 def forward(params: Params, cfg: WhisperConfig, mel, tokens, *, remat: bool = False):
