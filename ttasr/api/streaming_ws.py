@@ -133,6 +133,19 @@ class StreamingService:
         task_id = random.randint(100000, 999999)
         client = Client(user_id, 16000, 2, job_id, 0, [])
         client.connection_id = connection_id
+
+        # Advanced query params (documented by the reference README:508-523
+        # but unimplemented there): enableTransient -> final=0 partials;
+        # charactersToNumbers -> zh numerals to Arabic in transcripts;
+        # rate -> input sampling rate.
+        query = request.query
+        if query.get("enableTransient") == "1":
+            args = dict(client.config["processing_args"])
+            args["enable_transient"] = True
+            client.update_config({"processing_args": args})
+        client.characters_to_numbers = query.get("charactersToNumbers") == "1"
+        if query.get("rate") in ("8000", "16000"):
+            client.sampling_rate = int(query["rate"])
         self.connected_clients.append(client)
         logger.info("client connected: user=%s job=%s task=%s", user_id, job_id, task_id)
 

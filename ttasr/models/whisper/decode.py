@@ -44,6 +44,7 @@ from ttasr.models.whisper.model import (
     _mlp,
     _model_dtype,
     _proj,
+    _quant_cross_attention,
     _quant_self_attention,
     _split_heads,
     _unembed,
@@ -130,7 +131,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
 
     def scan_block(x, scanned):
         if quantized:
-            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv = scanned
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv, cks, cvs = scanned
         else:
             blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
@@ -152,7 +153,11 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
-        x = x + _proj(_merge_heads(_cross_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
+        if quantized:
+            cross = _quant_cross_attention(qc, ck, cks, cv, cvs)
+        else:
+            cross = _cross_attention(qc, ck, cv)
+        x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         if quantized:
             return x, (k_cache, v_cache, ks_cache, vs_cache)
@@ -162,7 +167,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
             scan_block, x,
             (dec["blocks"], cache.k, cache.v, cache.ks, cache.vs,
-             cache.cross_k, cache.cross_v),
+             cache.cross_k, cache.cross_v, cache.cks, cache.cvs),
         )
     else:
         x, (new_k, new_v) = jax.lax.scan(
@@ -172,7 +177,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         new_ks, new_vs = cache.ks, cache.vs
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     return x, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
-                          new_ks, new_vs)
+                          new_ks, new_vs, cache.cks, cache.cvs)
 
 
 def _logits_at(params, hidden):
@@ -200,7 +205,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
 
     def scan_block(x, scanned):
         if quantized:
-            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv = scanned
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv, cks, cvs = scanned
         else:
             blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
@@ -225,7 +230,11 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
-        x = x + _proj(_merge_heads(_cross_attention(qc, ck, cv)), blk["wo_c"], blk["bo_c"])
+        if quantized:
+            cross = _quant_cross_attention(qc, ck, cks, cv, cvs)
+        else:
+            cross = _cross_attention(qc, ck, cv)
+        x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         if quantized:
             return x, (k_cache, v_cache, ks_cache, vs_cache)
@@ -235,7 +244,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
             scan_block, x,
             (dec["blocks"], cache.k, cache.v, cache.ks, cache.vs,
-             cache.cross_k, cache.cross_v),
+             cache.cross_k, cache.cross_v, cache.cks, cache.cvs),
         )
     else:
         x, (new_k, new_v) = jax.lax.scan(
@@ -246,7 +255,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = _unembed(x[:, 0], dec)
     return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
-                               new_ks, new_vs)
+                               new_ks, new_vs, cache.cks, cache.cvs)
 
 
 # ---------------------------------------------------------------------------
@@ -460,6 +469,7 @@ def _gather_cache(cache: DecodeCache, idx) -> DecodeCache:
     return DecodeCache(
         k=cache.k[:, idx], v=cache.v[:, idx],
         cross_k=cache.cross_k, cross_v=cache.cross_v, ks=ks, vs=vs,
+        cks=cache.cks, cvs=cache.cvs,
     )
 
 

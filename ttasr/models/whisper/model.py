@@ -267,10 +267,12 @@ class DecodeCache:
     """
     k: jnp.ndarray  # (L, B, max_len, H, Dh) bf16 or int8
     v: jnp.ndarray
-    cross_k: jnp.ndarray  # (L, B, src_len, H, Dh)
+    cross_k: jnp.ndarray  # (L, B, src_len, H, Dh) bf16 or int8
     cross_v: jnp.ndarray
     ks: jnp.ndarray  # (L, B, max_len, H) f32 scales (int8 mode) or (0,)
     vs: jnp.ndarray
+    cks: jnp.ndarray  # (L, B, src_len, H) f32 scales (int8 mode) or (0,)
+    cvs: jnp.ndarray
 
     @property
     def quantized(self) -> bool:
@@ -278,10 +280,16 @@ class DecodeCache:
 
         return self.k.dtype == _jnp.int8
 
+    @property
+    def cross_quantized(self) -> bool:
+        import jax.numpy as _jnp
+
+        return self.cross_k.dtype == _jnp.int8
+
 
 jax.tree_util.register_dataclass(
     DecodeCache,
-    data_fields=["k", "v", "cross_k", "cross_v", "ks", "vs"],
+    data_fields=["k", "v", "cross_k", "cross_v", "ks", "vs", "cks", "cvs"],
     meta_fields=[],
 )
 
@@ -321,19 +329,35 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
 
     _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])
     shape = (cfg.decoder_layers, b * beam_expand, max_len, h, dh)
+    empty = jnp.zeros((0,), jnp.float32)
     if kv_int8:
         scale_shape = shape[:-1]
+        ck8, cks = jax.vmap(quantize_kv)(ck)
+        cv8, cvs = jax.vmap(quantize_kv)(cv)
         return DecodeCache(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-            cross_k=ck, cross_v=cv,
+            cross_k=ck8, cross_v=cv8,
             ks=jnp.zeros(scale_shape, jnp.float32),
             vs=jnp.zeros(scale_shape, jnp.float32),
+            cks=cks, cvs=cvs,
         )
-    empty = jnp.zeros((0,), jnp.float32)
     return DecodeCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-        cross_k=ck, cross_v=cv, ks=empty, vs=empty,
+        cross_k=ck, cross_v=cv, ks=empty, vs=empty, cks=empty, cvs=empty,
     )
+
+
+def _quant_cross_attention(q, ck8, cks, cv8, cvs):
+    """Beam-grouped cross-attention over int8 K/V with folded scales.
+
+    q: (BK, T, H, Dh); ck8/cv8: (B, S, H, Dh) int8; cks/cvs: (B, S, H).
+    """
+    bk, t, h, dh = q.shape
+    b = ck8.shape[0]
+    group = bk // b
+    qg = q.reshape(b, group * t, h, dh)
+    out = _quant_self_attention(qg, ck8, cks, cv8, cvs, None)
+    return out.reshape(bk, t, h, dh)
 
 
 def _quant_self_attention(q, k8, ks, v8, vs, mask):
@@ -423,7 +447,7 @@ def decode_step(params: Params, cfg: WhisperConfig, tokens, pos, cache: DecodeCa
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = _unembed(x, dec)
     return logits, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
-                               cache.ks, cache.vs)
+                               cache.ks, cache.vs, cache.cks, cache.cvs)
 
 
 def forward(params: Params, cfg: WhisperConfig, mel, tokens, *, remat: bool = False):

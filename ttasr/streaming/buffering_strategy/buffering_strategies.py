@@ -41,6 +41,11 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
         self.chunk_offset_seconds = float(chunk_offset)
         self.error_if_not_realtime = os.environ.get("ERROR_IF_NOT_REALTIME") \
             or kwargs.get("error_if_not_realtime", False)
+        # transient partials: when the silence gate is not met, still emit
+        # a provisional (final=0) transcription of the scratch buffer —
+        # the reference documents this as ``enableTransient=1``
+        # (reference README.md:517-523) but never implements it.
+        self.enable_transient = bool(kwargs.get("enable_transient", False))
         self.processing_flag = False
         self.start_time = None
 
@@ -92,6 +97,9 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
                 vad_results[-1]["end"] < last_segment_should_end_before
                 or last_segment_should_end_before > 2
             ):
+                if self.enable_transient:
+                    await self._emit_transient(websocket, asr_pipeline,
+                                               start_transcribe_time)
                 return
 
             transcription = await asr_pipeline.transcribe(self.client)
@@ -108,7 +116,8 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
                     "result": [
                         {
                             "segment": 0,
-                            "transcript": transcription.get("text", ""),
+                            "transcript": self._postprocess(
+                                transcription.get("text", "")),
                             "final": 1,
                             "startTime": round(float(start_time_sec), 3),
                             "endTime": round(float(end_time_sec), 3),
@@ -124,6 +133,41 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
             logger.exception("chunk processing failed")
         finally:
             self.processing_flag = False
+
+    def _postprocess(self, text: str) -> str:
+        """Optional charactersToNumbers conversion (README.md:520)."""
+        if getattr(self.client, "characters_to_numbers", False):
+            from ttasr.text.normalize import num_to_cn
+
+            return num_to_cn(text, mode=1)
+        return text
+
+    async def _emit_transient(self, websocket, asr_pipeline,
+                              start_time_sec: float) -> None:
+        """Provisional (final=0) result for the in-flight scratch buffer;
+        the scratch is NOT cleared so the final result supersedes it."""
+        transcription = await asr_pipeline.transcribe(self.client)
+        if transcription is None or "text" not in transcription:
+            return
+        connection_id = getattr(self.client, "connection_id", None) \
+            or str(uuid.uuid4())
+        payload = {
+            "id": connection_id,
+            "code": 200,
+            "message": "轉譯中",
+            "result": [
+                {
+                    "segment": 0,
+                    "transcript": transcription.get("text", ""),
+                    "final": 0,
+                    "startTime": round(float(start_time_sec), 3),
+                    "endTime": round(
+                        float(start_time_sec)
+                        + float(transcription.get("duration") or 0.0), 3),
+                }
+            ],
+        }
+        await self._send(websocket, json.dumps(payload, ensure_ascii=False))
 
     @staticmethod
     async def _send(websocket, text: str) -> None:
