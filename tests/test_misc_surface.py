@@ -151,3 +151,45 @@ def test_stage_timer():
     assert snap["mel"]["count"] == 2
     t.reset()
     assert t.snapshot() == {}
+
+
+def test_transient_partials_and_characters_to_numbers():
+    """enableTransient -> final=0 partials; charactersToNumbers -> Arabic
+    digits (advanced params the reference documents but never implements)."""
+    from ttasr.streaming.client import Client
+    from ttasr.streaming.vad.simple_vad import SimpleVAD
+
+    class FixedASR:
+        async def transcribe(self, client):
+            return {"text": "一百零五元", "duration": 0.5, "final": True,
+                    "language": "zh", "language_probability": 1.0, "words": []}
+
+    class FakeWS:
+        def __init__(self):
+            self.sent = []
+
+        async def send(self, text):
+            self.sent.append(json.loads(text))
+
+    client = Client("c1", 16000, 2, "job", 0, [])
+    client.connection_id = "cid"
+    client.characters_to_numbers = True
+    client.update_config({"processing_args": {
+        "chunk_length_seconds": 0.5, "chunk_offset_seconds": 0.3,
+        "enable_transient": True,
+    }})
+    ws = FakeWS()
+    vad = SimpleVAD(min_duration=0.01)
+    asr = FixedASR()
+
+    async def run():
+        # 1s of audio: SimpleVAD end == duration -> gate NOT met (<2s)
+        client.append_audio_data(b"\x00\x01" * 16000)
+        client.process_audio(ws, vad, asr)
+        await asyncio.sleep(0.1)
+
+    asyncio.run(run())
+    finals = [r for m in ws.sent for r in m.get("result", [])]
+    assert finals, ws.sent
+    assert finals[0]["final"] == 0  # transient
+    assert finals[0]["transcript"] == "105元"  # cn2an applied

@@ -158,7 +158,7 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
             "result": [
                 {
                     "segment": 0,
-                    "transcript": transcription.get("text", ""),
+                    "transcript": self._postprocess(transcription.get("text", "")),
                     "final": 0,
                     "startTime": round(float(start_time_sec), 3),
                     "endTime": round(
