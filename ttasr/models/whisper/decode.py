@@ -74,6 +74,7 @@ class DecodingOptions:
     sample_len: int = SAMPLE_LEN
     max_prompt: int = MAX_PROMPT
     kv_int8: bool = False  # int8 self-KV cache: halves decode HBM traffic
+    cross_kv_int8: bool = False  # int8 cross-KV: needs a fused kernel to win
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,10 +129,15 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
     mask = (causal & valid)[:, None]           # (B, 1, T, T)
 
     quantized = cache.quantized
+    cross_quantized = cache.cross_quantized
 
     def scan_block(x, scanned):
-        if quantized:
+        if quantized and cross_quantized:
             blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv, cks, cvs = scanned
+        elif quantized:
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv = scanned
+        elif cross_quantized:
+            blk, k_cache, v_cache, ck, cv, cks, cvs = scanned
         else:
             blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
@@ -153,7 +159,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
-        if quantized:
+        if cross_quantized:
             cross = _quant_cross_attention(qc, ck, cks, cv, cvs)
         else:
             cross = _cross_attention(qc, ck, cv)
@@ -163,17 +169,17 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
             return x, (k_cache, v_cache, ks_cache, vs_cache)
         return x, (k_cache, v_cache)
 
+    operands = [dec["blocks"], cache.k, cache.v]
+    if quantized:
+        operands += [cache.ks, cache.vs]
+    operands += [cache.cross_k, cache.cross_v]
+    if cross_quantized:
+        operands += [cache.cks, cache.cvs]
     if quantized:
         x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-            scan_block, x,
-            (dec["blocks"], cache.k, cache.v, cache.ks, cache.vs,
-             cache.cross_k, cache.cross_v, cache.cks, cache.cvs),
-        )
+            scan_block, x, tuple(operands))
     else:
-        x, (new_k, new_v) = jax.lax.scan(
-            scan_block, x,
-            (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v),
-        )
+        x, (new_k, new_v) = jax.lax.scan(scan_block, x, tuple(operands))
         new_ks, new_vs = cache.ks, cache.vs
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     return x, DecodeCache(new_k, new_v, cache.cross_k, cache.cross_v,
@@ -202,10 +208,15 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
     mask = ((k_ids <= slot) & (k_ids >= pad_len[:, None]))[:, None, None]  # (B,1,1,T)
 
     quantized = cache.quantized
+    cross_quantized = cache.cross_quantized
 
     def scan_block(x, scanned):
-        if quantized:
+        if quantized and cross_quantized:
             blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv, cks, cvs = scanned
+        elif quantized:
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv = scanned
+        elif cross_quantized:
+            blk, k_cache, v_cache, ck, cv, cks, cvs = scanned
         else:
             blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
@@ -230,7 +241,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
-        if quantized:
+        if cross_quantized:
             cross = _quant_cross_attention(qc, ck, cks, cv, cvs)
         else:
             cross = _cross_attention(qc, ck, cv)
@@ -240,17 +251,17 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
             return x, (k_cache, v_cache, ks_cache, vs_cache)
         return x, (k_cache, v_cache)
 
+    operands = [dec["blocks"], cache.k, cache.v]
+    if quantized:
+        operands += [cache.ks, cache.vs]
+    operands += [cache.cross_k, cache.cross_v]
+    if cross_quantized:
+        operands += [cache.cks, cache.cvs]
     if quantized:
         x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-            scan_block, x,
-            (dec["blocks"], cache.k, cache.v, cache.ks, cache.vs,
-             cache.cross_k, cache.cross_v, cache.cks, cache.cvs),
-        )
+            scan_block, x, tuple(operands))
     else:
-        x, (new_k, new_v) = jax.lax.scan(
-            scan_block, x,
-            (dec["blocks"], cache.k, cache.v, cache.cross_k, cache.cross_v),
-        )
+        x, (new_k, new_v) = jax.lax.scan(scan_block, x, tuple(operands))
         new_ks, new_vs = cache.ks, cache.vs
     x = _ln(x, dec["ln_s"], dec["ln_b"])
     logits = _unembed(x[:, 0], dec)
@@ -360,7 +371,8 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     max_prompt = prompt.shape[1]
     cache = init_cache(params, cfg, enc_out,
                        max_len=max_prompt + opts.sample_len,
-                       kv_int8=opts.kv_int8)
+                       kv_int8=opts.kv_int8,
+                       cross_kv_int8=opts.cross_kv_int8)
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache)
 
     # no_speech prob: at the sot position's logits (predicting the token
@@ -498,7 +510,8 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     max_prompt = prompt.shape[1]
     cache = init_cache(params, cfg, enc_out,
                        max_len=max_prompt + opts.sample_len, beam_expand=k,
-                       kv_int8=opts.kv_int8)
+                       kv_int8=opts.kv_int8,
+                       cross_kv_int8=opts.cross_kv_int8)
     hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *

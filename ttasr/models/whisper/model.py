@@ -308,7 +308,8 @@ def quantize_kv(x):
 
 
 def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
-               beam_expand: int = 1, kv_int8: bool = False) -> DecodeCache:
+               beam_expand: int = 1, kv_int8: bool = False,
+               cross_kv_int8: bool = False) -> DecodeCache:
     """Allocate self-attn cache and precompute cross-attn K/V per layer.
 
     Cross K/V stay at the audio batch size B even when decoding B*K beam
@@ -330,20 +331,22 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
     _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])
     shape = (cfg.decoder_layers, b * beam_expand, max_len, h, dh)
     empty = jnp.zeros((0,), jnp.float32)
+    cks = cvs = empty
+    if cross_kv_int8:
+        ck, cks = jax.vmap(quantize_kv)(ck)
+        cv, cvs = jax.vmap(quantize_kv)(cv)
     if kv_int8:
         scale_shape = shape[:-1]
-        ck8, cks = jax.vmap(quantize_kv)(ck)
-        cv8, cvs = jax.vmap(quantize_kv)(cv)
         return DecodeCache(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-            cross_k=ck8, cross_v=cv8,
+            cross_k=ck, cross_v=cv,
             ks=jnp.zeros(scale_shape, jnp.float32),
             vs=jnp.zeros(scale_shape, jnp.float32),
             cks=cks, cvs=cvs,
         )
     return DecodeCache(
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-        cross_k=ck, cross_v=cv, ks=empty, vs=empty, cks=empty, cvs=empty,
+        cross_k=ck, cross_v=cv, ks=empty, vs=empty, cks=cks, cvs=cvs,
     )
 
 
