@@ -207,3 +207,45 @@ def test_compression_ratio():
     assert compression_ratio("aaaaaaaaaaaaaaaaaaaaaaaaaaaa") > 2.0
     assert compression_ratio("the quick brown fox") < 1.5
     assert compression_ratio("") == 0.0
+
+
+def test_bucketed_growth_consistency(model, enc_out):
+    """Decoding across cache-growth buckets must equal a single flat
+    bucket (greedy prefix + beam exact)."""
+    import jax
+
+    from ttasr.models.whisper import decode as D
+
+    _, params, cfg = model
+    _, enc = enc_out
+    prompt_ids = TOK.sot_sequence("zh", predict_timestamps=True)
+    prompt, pad = pad_prompts([prompt_ids], TOK.eot)
+    key = jax.random.PRNGKey(0)
+    opts = DecodingOptions(sample_len=48, beam_size=2)
+
+    bucketed = beam_decode(params, cfg, enc, prompt, pad, key,
+                           opts=opts, ti=_ti())
+    orig = D._growth_buckets
+    D._growth_buckets = lambda mp, sl: [mp + sl]
+    try:
+        flat = beam_decode.__wrapped__(params, cfg, enc, prompt, pad, key,
+                                       opts=opts, ti=_ti())
+    finally:
+        D._growth_buckets = orig
+    np.testing.assert_array_equal(
+        np.asarray(bucketed["tokens"]), np.asarray(flat["tokens"])
+    )
+
+
+def test_kv_int8_mode_runs(model, enc_out):
+    import jax
+
+    _, params, cfg = model
+    _, enc = enc_out
+    prompt, pad = pad_prompts([TOK.sot_sequence("zh", predict_timestamps=True)],
+                              TOK.eot)
+    out = greedy_decode(
+        params, cfg, enc, prompt, pad, jax.random.PRNGKey(0),
+        opts=DecodingOptions(sample_len=12, kv_int8=True), ti=_ti(),
+    )
+    assert np.asarray(out["tokens"]).shape == (1, 12)

@@ -342,6 +342,39 @@ def _apply_rules(logits, *, ti: TokenizerInfo, opts: DecodingOptions,
     return logits
 
 
+def _growth_buckets(max_prompt: int, sample_len: int):
+    """Static cache-length schedule: the per-step beam gather and
+    self-attention read cost track the CURRENT cache length, so decoding
+    in growing buckets (32/64/128/... new-token capacity) pays the
+    triangular cost instead of the rectangular one (PERF_NOTES.md)."""
+    buckets = []
+    cap = 32
+    while cap < sample_len:
+        buckets.append(max_prompt + cap)
+        cap *= 2
+    buckets.append(max_prompt + sample_len)
+    return buckets
+
+
+def _pad_cache_to(cache: DecodeCache, new_len: int) -> DecodeCache:
+    """Grow the self-KV caches (axis 2) to ``new_len`` slots."""
+    cur = cache.k.shape[2]
+    if cur >= new_len:
+        return cache
+    pad = new_len - cur
+
+    def grow(x, axis=2):
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    ks = grow(cache.ks) if cache.quantized else cache.ks
+    vs = grow(cache.vs) if cache.quantized else cache.vs
+    return DecodeCache(grow(cache.k), grow(cache.v),
+                       cache.cross_k, cache.cross_v, ks, vs,
+                       cache.cks, cache.cvs)
+
+
 # ---------------------------------------------------------------------------
 # Greedy / sampling decode
 # ---------------------------------------------------------------------------
@@ -369,8 +402,9 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         temperature = jnp.asarray(temperature, jnp.float32)
     b = enc_out.shape[0]
     max_prompt = prompt.shape[1]
+    buckets = _growth_buckets(max_prompt, opts.sample_len)
     cache = init_cache(params, cfg, enc_out,
-                       max_len=max_prompt + opts.sample_len,
+                       max_len=buckets[0],
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8)
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache)
@@ -456,7 +490,17 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
             step=s["step"] + 1, rng=new_rng,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    final = state
+    for bucket_len in buckets:
+        final = dict(final, cache=_pad_cache_to(final["cache"], bucket_len))
+        cap = bucket_len - max_prompt
+
+        def bucket_cond(s, _cap=cap):
+            return ((s["step"] < _cap)
+                    & (s["step"] < opts.sample_len)
+                    & (~jnp.all(s["finished"])))
+
+        final = jax.lax.while_loop(bucket_cond, body, final)
     return {
         "tokens": final["tokens"],
         "lengths": final["n"],
@@ -508,8 +552,9 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     pad_rep = jnp.repeat(pad_len, k, axis=0)
 
     max_prompt = prompt.shape[1]
+    buckets = _growth_buckets(max_prompt, opts.sample_len)
     cache = init_cache(params, cfg, enc_out,
-                       max_len=max_prompt + opts.sample_len, beam_expand=k,
+                       max_len=buckets[0], beam_expand=k,
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8)
     hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
@@ -638,7 +683,17 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
             fin_count=fin_count, step=s["step"] + 1,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
+    s = state
+    for bucket_len in buckets:
+        s = dict(s, cache=_pad_cache_to(s["cache"], bucket_len))
+        cap = bucket_len - max_prompt
+
+        def bucket_cond(st, _cap=cap):
+            return ((st["step"] < _cap)
+                    & (st["step"] < opts.sample_len)
+                    & (~jnp.all(st["fin_count"] >= max_finished)))
+
+        s = jax.lax.while_loop(bucket_cond, body, s)
 
     # If an audio has no finished sequence (hit sample_len), fall back to the
     # best live beam, appending an implicit eot.
