@@ -80,6 +80,7 @@ class TranscribeOptions:
     vad_filter: bool = True
     vad_parameters: Optional[VadOptions] = None
     max_new_tokens: int = SAMPLE_LEN
+    kv_cache_int8: Optional[bool] = None  # None -> engine default
 
 
 class WhisperEngine:
@@ -101,6 +102,8 @@ class WhisperEngine:
             self.params, self.cfg = params, config
         else:
             self.params, self.cfg = load_whisper(model_path_or_name, dtype=dtype)
+        # int8 compute: quantized HBM-resident weights + int8 self-KV cache
+        self.kv_cache_int8 = compute_type == "int8"
         if compute_type == "int8":
             from ttasr.ops.quant import quantize_params
 
@@ -122,6 +125,9 @@ class WhisperEngine:
         self._rng_counter += 1
         rng = jax.random.PRNGKey(self._rng_counter)
         prompt, pad = pad_prompts([prompt_ids], self.ti.eot)
+        kv_int8 = opts.kv_cache_int8
+        if kv_int8 is None:
+            kv_int8 = self.kv_cache_int8
         dec_opts = DecodingOptions(
             beam_size=opts.beam_size,
             length_penalty=opts.length_penalty,
@@ -129,6 +135,7 @@ class WhisperEngine:
             without_timestamps=opts.without_timestamps,
             max_initial_timestamp=opts.max_initial_timestamp,
             sample_len=min(opts.max_new_tokens, SAMPLE_LEN),
+            kv_int8=kv_int8,
         )
         if temperature == 0.0 and opts.beam_size > 1:
             out = beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
