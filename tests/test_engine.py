@@ -136,3 +136,11 @@ def test_word_timestamps(engine):
         # words ordered in time
         starts = [w.start for w in seg.words]
         assert starts == sorted(starts)
+
+
+def test_detect_language(engine):
+    lang, prob, ranked = engine.detect_language(_speechy_audio(1.0))
+    assert lang in TOK.language_ids
+    assert 0 < prob <= 1
+    assert abs(sum(p for _, p in ranked) - 1.0) < 1e-4
+    assert ranked[0][0] == lang

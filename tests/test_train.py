@@ -170,3 +170,20 @@ def test_preprocessing_only_mode(tmp_path):
         "--preprocessing_only",
     ])
     assert metrics["preprocessed"] == 8
+
+
+def test_gradient_accumulation(tmp_path):
+    from ttasr.train.trainer import Trainer, TrainerConfig
+
+    cfg = _micro_cfg()
+    params = init_params(cfg, seed=0)
+    tc = TrainerConfig(
+        output_dir=str(tmp_path), max_steps=4,
+        per_device_train_batch_size=2, gradient_accumulation_steps=2,
+        warmup_steps=1, logging_steps=2, eval_steps=100, save_steps=100,
+        gradient_checkpointing=False,
+    )
+    trainer = Trainer(params, cfg, TOK, tc)
+    examples = load_tsv_corpus(CORPUS, "train_ds_01", "train")
+    metrics = trainer.train(examples)
+    assert np.isfinite(metrics["train_loss"])

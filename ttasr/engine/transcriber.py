@@ -180,6 +180,42 @@ class WhisperEngine:
 
     # -- public API ----------------------------------------------------------
 
+    def detect_language(self, audio: Union[str, np.ndarray]
+                        ) -> Tuple[str, float, List[Tuple[str, float]]]:
+        """Identify the spoken language from the first 30 s window.
+
+        One decode step from ``<|startoftranscript|>`` with the
+        distribution restricted to language tokens (openai-whisper
+        ``detect_language``; part of the WhisperModel API surface).
+        Returns (language, probability, all (language, prob) sorted).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ttasr.models.whisper.decode import _logits_at, _prefill
+        from ttasr.models.whisper.model import init_cache
+
+        if isinstance(audio, (str, bytes)):
+            audio, _ = load_audio(audio, sr=SAMPLE_RATE)
+        audio = np.asarray(audio, dtype=np.float32)[:N_SAMPLES]
+        mel = log_mel_spectrogram(audio, n_mels=self.cfg.num_mel_bins)
+        enc_out = encode(self.params, self.cfg, mel[None])
+
+        prompt, pad = pad_prompts([[self.tokenizer.sot]], self.ti.eot, width=16)
+        cache = init_cache(self.params, self.cfg, enc_out, max_len=17)
+        hidden, _ = _prefill(self.params, self.cfg, jnp.asarray(prompt),
+                             jnp.asarray(pad), cache)
+        logits = np.asarray(_logits_at(self.params, hidden[:, -1]))[0]
+
+        lang_ids = self.tokenizer.language_ids
+        ids = np.asarray(list(lang_ids.values()))
+        probs = np.exp(logits[ids] - logits[ids].max())
+        probs = probs / probs.sum()
+        ranked = sorted(
+            zip(lang_ids.keys(), probs.tolist()), key=lambda kv: -kv[1]
+        )
+        return ranked[0][0], ranked[0][1], ranked
+
     def transcribe(self, audio: Union[str, np.ndarray], **kwargs
                    ) -> Tuple[List[Segment], TranscriptionInfo]:
         """Transcribe audio; returns (segments, info) like WhisperModel."""

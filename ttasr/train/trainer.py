@@ -88,6 +88,13 @@ class Trainer:
             warmup_steps=self.tc.warmup_steps,
             total_steps=self.tc.max_steps,
         )
+        if self.tc.gradient_accumulation_steps > 1:
+            import optax
+
+            self.optimizer = optax.MultiSteps(
+                self.optimizer,
+                every_k_schedule=self.tc.gradient_accumulation_steps,
+            )
         self.state = init_train_state(params, self.optimizer)
         self.train_step = make_train_step(
             cfg, self.optimizer, mesh=mesh,
