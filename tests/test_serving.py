@@ -105,3 +105,29 @@ def test_error_propagates(engine):
         finally:
             await server.stop()
     asyncio.run(run())
+
+
+def test_streaming_plugin_through_batch_server(engine):
+    """JaxWhisperASR with a BatchServer: chunks route through the
+    fixed-slot decode program."""
+    from ttasr.streaming.asr.jax_whisper_asr import JaxWhisperASR
+    from ttasr.streaming.client import Client
+
+    async def run():
+        server = BatchServer(engine, slots=2, beam_size=1, sample_len=8,
+                             linger_ms=5)
+        await server.start()
+        try:
+            plugin = JaxWhisperASR(engine=engine, server=server)
+            client = Client("c1", 16000, 2, "job", 0, [])
+            pcm = (np.clip(_audio(3, seconds=2.0), -1, 1) * 32767).astype("<i2")
+            client.scratch_buffer = bytearray(pcm.tobytes())
+            result = await plugin.transcribe(client)
+            stats = server.stats
+            assert stats["served"] >= 1
+            if result is not None:
+                assert "text" in result and result["final"] is True
+                assert result["duration"] > 0
+        finally:
+            await server.stop()
+    asyncio.run(run())

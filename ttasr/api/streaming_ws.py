@@ -53,6 +53,7 @@ class StreamingService:
         self.connected_clients: List[Client] = []
         self.vad_pipeline = None
         self.asr_pipeline = None
+        self.batch_server = None
         self.asr_ready_event: Optional[asyncio.Event] = None
 
     # -- lifecycle -----------------------------------------------------------
@@ -81,6 +82,17 @@ class StreamingService:
             self.asr_pipeline = ASRFactory.create_asr_pipeline(
                 "jax_whisper", model_size=model_size
             )
+            # Continuous batching: concurrent streams pack into fixed
+            # decode slots (TTASR_BATCH_SLOTS=0 disables).
+            slots = int(os.getenv("TTASR_BATCH_SLOTS", "4"))
+            if slots > 0:
+                from ttasr.engine.serving import BatchServer
+
+                self.batch_server = BatchServer(
+                    self.asr_pipeline.engine, slots=slots, beam_size=5
+                )
+                await self.batch_server.start()
+                self.asr_pipeline.server = self.batch_server
             logger.info("ASR pipeline ready")
             if not warmup:
                 self.asr_ready_event.set()
@@ -102,6 +114,8 @@ class StreamingService:
         for client in self.connected_clients:
             logger.info("cleaning client %s", client.client_id)
         self.connected_clients.clear()
+        if self.batch_server is not None:
+            await self.batch_server.stop()
 
     # -- websocket -----------------------------------------------------------
 

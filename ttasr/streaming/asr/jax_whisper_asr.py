@@ -65,6 +65,9 @@ class JaxWhisperASR(ASRInterface):
             engine = WhisperEngine(model_path, compute_type=compute_type)
         self.engine = engine
         self.asr_pipeline = engine  # name exposed for health checks
+        # Optional continuous-batching server: concurrent streams' chunks
+        # pack into one fixed-slot decode program instead of separate calls.
+        self.server = kwargs.get("server")
         self.device = getattr(engine, "device", "tpu")
         self.compute_type = compute_type
         self.model_size = model_size
@@ -83,6 +86,8 @@ class JaxWhisperASR(ASRInterface):
             audio = pcm16_bytes_to_float32(bytes(client.scratch_buffer))
             if len(audio) == 0:
                 return None
+            if self.server is not None:
+                return await self._transcribe_batched(audio, client)
             language = "zh"
             kwargs = dict(self.default_transcribe_kwargs)
             kwargs["language"] = language
@@ -137,6 +142,38 @@ class JaxWhisperASR(ASRInterface):
         except Exception:
             logger.exception("streaming transcription failed")
             return None
+
+    async def _transcribe_batched(self, audio, client) -> Optional[dict]:
+        """Chunk transcription through the continuous-batching server:
+        concurrent streams share one compiled fixed-slot decode step."""
+        from ttasr.models.whisper.decode import build_prompt
+
+        tok = self.engine.tokenizer
+        prompt = build_prompt(
+            tok, language="zh", task="transcribe",
+            initial_prompt_tokens=tok.encode(" 繁體中文"),
+        )
+        result = await self.server.transcribe_window(audio, prompt)
+        text_tokens = [t for t in result.tokens if not tok.is_timestamp(t)]
+        if not text_tokens:
+            return None
+        text = tok.decode(text_tokens).strip()
+        if not text:
+            return None
+        filtered = filter_text(text)
+        text = filtered if filtered is not None else text
+        ts = [t for t in result.tokens if tok.is_timestamp(t)]
+        duration = (
+            tok.timestamp_to_seconds(ts[-1]) if ts else len(audio) / 16000.0
+        )
+        return {
+            "language": "zh",
+            "language_probability": None,
+            "final": True,
+            "text": text,
+            "duration": duration,
+            "words": [],
+        }
 
     def warm_up(self) -> None:
         """Compile the decode path on a dummy 1.5 s chunk so the first
