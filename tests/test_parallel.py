@@ -94,3 +94,13 @@ def test_entry_compiles():
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     assert compiled is not None
+
+
+def test_multislice_mesh_single_slice():
+    from ttasr.parallel.distributed import create_multislice_mesh, initialize_distributed
+
+    initialize_distributed()  # no-op single process
+    mesh = create_multislice_mesh(model=2)
+    assert mesh.axis_names == ("dcn_data", "data", "model")
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["dcn_data"] * mesh.shape["data"] * 2 == 8

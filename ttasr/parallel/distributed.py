@@ -1,0 +1,71 @@
+"""Multi-host / multi-slice initialization.
+
+The reference's only distributed awareness is HF Trainer's latent NCCL
+path (never exercised — SURVEY.md §5).  Here: `jax.distributed` for
+multi-host TPU pods; intra-slice collectives ride ICI (emitted by pjit
+from the shardings in :mod:`ttasr.parallel.sharding`), and a mesh with a
+``dcn_data`` outer axis puts only data-parallel traffic on DCN across
+slices.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("ttasr.parallel")
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed when running multi-host.
+
+    No-op for single-process runs.  Arguments default to the standard
+    env vars (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID``) or TPU pod auto-detection.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.getenv("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.getenv("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.getenv("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    if coordinator_address is None and num_processes in (None, 1):
+        logger.info("single-process run; skipping jax.distributed")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info("jax.distributed initialized: process %s/%s",
+                jax.process_index(), jax.process_count())
+
+
+def create_multislice_mesh(model: int = 1, devices=None):
+    """Mesh for multi-slice training: ("dcn_data", "data", "model").
+
+    The outer ``dcn_data`` axis maps across slices (gradient all-reduce
+    over DCN); ``data`` and ``model`` stay within a slice (ICI).  On a
+    single slice this collapses to the standard mesh.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = devices if devices is not None else jax.devices()
+    try:
+        slices = sorted({getattr(d, "slice_index", 0) for d in devices})
+    except Exception:
+        slices = [0]
+    n_slices = max(len(slices), 1)
+    per_slice = len(devices) // n_slices
+    if per_slice % model != 0:
+        raise ValueError(f"model={model} does not divide {per_slice} devices/slice")
+    dev_array = np.asarray(devices).reshape(n_slices, per_slice // model, model)
+    return Mesh(dev_array, ("dcn_data", "data", "model"))

@@ -121,6 +121,25 @@ class Trainer:
         with open(self.metrics_path, "a", encoding="utf-8") as fh:
             fh.write(json.dumps(record, ensure_ascii=False) + "\n")
         logger.info("%s", record)
+        tb = self._tb_writer()
+        if tb is not None:
+            step = record.get("step", 0)
+            for key, value in record.items():
+                if key != "step" and isinstance(value, (int, float)):
+                    tb.add_scalar(key, value, step)
+
+    def _tb_writer(self):
+        """Lazy TensorBoard writer (HF Trainer logs TB by default)."""
+        if not hasattr(self, "_tb"):
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    os.path.join(self.tc.output_dir, "runs")
+                )
+            except Exception:
+                self._tb = None
+        return self._tb
 
     # -- training --------------------------------------------------------------
 
