@@ -91,3 +91,27 @@ def test_process_audio_folder_error_handling(audio_folder, tmp_path):
 
 def test_empty_folder(tmp_path):
     assert process_audio_folder(str(tmp_path)) is None
+
+
+def test_process_audio_folder_concurrent(audio_folder, tmp_path):
+    """--concurrency routes files through shared decode slots."""
+    from ttasr.engine.transcriber import WhisperEngine
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.model import init_params
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = WhisperConfig(
+        name="micro", vocab_size=tok.vocab_size, num_mel_bins=80,
+        d_model=64, encoder_layers=2, encoder_heads=4,
+        decoder_layers=2, decoder_heads=4, ffn_dim=128,
+    )
+    engine = WhisperEngine("micro", params=init_params(cfg, seed=0),
+                           config=cfg, tokenizer=tok)
+    result = process_audio_folder(
+        str(audio_folder), engine=engine, results_json_dir=str(tmp_path),
+        concurrency=2,
+    )
+    assert result["summary"]["total_files"] == 2
+    assert (audio_folder / "a1_asr.txt").exists()
+    assert (audio_folder / "a2_asr.txt").exists()

@@ -131,3 +131,30 @@ def test_streaming_plugin_through_batch_server(engine):
         finally:
             await server.stop()
     asyncio.run(run())
+
+
+def test_transcribe_files_concurrent(engine, tmp_path):
+    """Multiple files share decode slots; outputs match per-file shape."""
+    from ttasr.audio.io import write_wav
+    from ttasr.engine.serving import transcribe_files
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.wav")
+        write_wav(p, _audio(i, seconds=1.5))
+        paths.append(p)
+
+    async def run():
+        return await transcribe_files(
+            engine, paths, slots=3, beam_size=1,
+            language="zh", vad_filter=False, max_new_tokens=8,
+        )
+
+    results = asyncio.run(run())
+    assert set(results) == set(paths)
+    for path, value in results.items():
+        assert not isinstance(value, Exception), value
+        segments, info = value
+        assert info.duration == pytest.approx(1.5, abs=0.01)
+        for seg in segments:
+            assert seg.end >= seg.start

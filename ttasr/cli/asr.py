@@ -60,7 +60,8 @@ def process_audio_folder(folder_path: str,
                          output_file: str = "transcription_results.txt",
                          model: str = "models",
                          engine=None,
-                         results_json_dir: Optional[str] = None) -> Optional[dict]:
+                         results_json_dir: Optional[str] = None,
+                         concurrency: int = 1) -> Optional[dict]:
     """Transcribe every audio file in ``folder_path``.
 
     ``engine`` may be injected (tests use a fake, the pattern of the
@@ -83,6 +84,21 @@ def process_audio_folder(folder_path: str,
             print(f"模型載入失敗: {exc}")
             return None
 
+    # Continuous batching across files: windows from up to ``concurrency``
+    # files pack into shared TPU decode slots (prompt carry stays
+    # sequential within each file).
+    batched_results = {}
+    if concurrency > 1 and hasattr(engine, "transcribe_with_server"):
+        import asyncio
+
+        from ttasr.engine.serving import transcribe_files
+
+        batched_results = asyncio.run(transcribe_files(
+            engine, audio_files, slots=concurrency,
+            language="zh", vad_filter=True, beam_size=5,
+            condition_on_previous_text=True, initial_prompt="",
+        ))
+
     comparison_results = []
     for i, audio_file in enumerate(audio_files, 1):
         print(f"處理音檔 {i}/{len(audio_files)}: {os.path.basename(audio_file)}")
@@ -90,15 +106,21 @@ def process_audio_folder(folder_path: str,
         audio_name = os.path.splitext(os.path.basename(audio_file))[0]
         output_path = os.path.join(audio_dir, f"{audio_name}_asr.txt")
         try:
-            segments, info = engine.transcribe(
-                audio_file,
-                language="zh",
-                word_timestamps=False,
-                vad_filter=True,
-                beam_size=5,
-                condition_on_previous_text=True,
-                initial_prompt="",
-            )
+            pre = batched_results.get(audio_file)
+            if pre is not None and not isinstance(pre, Exception):
+                segments, info = pre
+            else:
+                if isinstance(pre, Exception):
+                    raise pre
+                segments, info = engine.transcribe(
+                    audio_file,
+                    language="zh",
+                    word_timestamps=False,
+                    vad_filter=True,
+                    beam_size=5,
+                    condition_on_previous_text=True,
+                    initial_prompt="",
+                )
             text = "".join(seg.text for seg in segments)
             processed_text = postprocess_transcript(text)
 
@@ -181,11 +203,14 @@ def main(argv=None) -> None:
         help="輸出檔案名稱 (已棄用，保留用於向後相容)",
     )
     parser.add_argument("--model", default="models", help="模型路徑或預設名稱")
+    parser.add_argument("--concurrency", type=int, default=1,
+                        help="同時處理的檔案數（視窗連續批次化）")
     args = parser.parse_args(argv)
     if not os.path.exists(args.folder):
         print(f"資料夾不存在: {args.folder}")
         return
-    process_audio_folder(args.folder, args.output, model=args.model)
+    process_audio_folder(args.folder, args.output, model=args.model,
+                         concurrency=args.concurrency)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,31 @@ class WindowResult:
     no_speech_prob: float
 
 
+async def transcribe_files(engine, paths: Sequence[str], *, slots: int = 4,
+                           beam_size: int = 5, **transcribe_kwargs) -> dict:
+    """Transcribe many files concurrently through shared decode slots.
+
+    Each file keeps its sequential prompt-carry seek loop; windows from
+    different files pack into the same compiled decode step.  Returns
+    ``{path: (segments, info)}`` (exceptions propagated per file as the
+    value).
+    """
+    server = BatchServer(engine, slots=slots, beam_size=beam_size)
+    await server.start()
+    try:
+        async def one(path):
+            return await engine.transcribe_with_server(
+                path, server, **transcribe_kwargs
+            )
+
+        results = await asyncio.gather(
+            *[one(p) for p in paths], return_exceptions=True
+        )
+        return dict(zip(paths, results))
+    finally:
+        await server.stop()
+
+
 class BatchServer:
     """Persistent fixed-slot decode server over one WhisperEngine."""
 

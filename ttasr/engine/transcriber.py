@@ -265,6 +265,106 @@ class WhisperEngine:
                 seg.end = ts_map.get_original_time(seg.end)
         return segments, info
 
+    # -- continuous-batching path ---------------------------------------------
+
+    async def transcribe_with_server(self, audio: Union[str, np.ndarray],
+                                     server, **kwargs
+                                     ) -> Tuple[List[Segment], TranscriptionInfo]:
+        """Seek-loop transcription with window decodes routed through a
+        :class:`ttasr.engine.serving.BatchServer` — windows from many
+        concurrent files pack into shared fixed decode slots ("continuous
+        batching of 30 s windows", BASELINE.json north star).
+
+        Prompt carry (``condition_on_previous_text``) stays sequential
+        within a file; parallelism comes from running many files at once
+        (see :func:`ttasr.engine.serving.transcribe_files`).  The
+        temperature-fallback ladder and word timestamps are not applied
+        on this path (the server decodes at fixed options).
+        """
+        known = {f.name for f in dataclasses.fields(TranscribeOptions)}
+        opts = TranscribeOptions(
+            **{k: v for k, v in kwargs.items() if k in known}
+        )
+        if isinstance(audio, (str, bytes)):
+            audio, _ = load_audio(audio, sr=SAMPLE_RATE)
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=0)
+        duration = len(audio) / SAMPLE_RATE
+
+        speech_chunks = None
+        duration_after_vad = duration
+        if opts.vad_filter:
+            speech_chunks = get_speech_timestamps(
+                audio, opts.vad_parameters or VadOptions()
+            )
+            audio = collect_chunks(audio, speech_chunks)
+            duration_after_vad = len(audio) / SAMPLE_RATE
+
+        info = TranscriptionInfo(
+            language=opts.language or "zh", language_probability=1.0,
+            duration=duration, duration_after_vad=duration_after_vad,
+        )
+        if len(audio) == 0:
+            return [], info
+
+        tok = self.tokenizer
+        content_frames = max(len(audio) // HOP_LENGTH, 1)
+        seek = 0
+        all_tokens: List[int] = []
+        initial_prompt_tokens: List[int] = []
+        if opts.initial_prompt:
+            initial_prompt_tokens = tok.encode(" " + opts.initial_prompt.strip())
+            all_tokens.extend(initial_prompt_tokens)
+        segments: List[Segment] = []
+        seg_id = 0
+
+        while seek < content_frames:
+            time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+            window = audio[seek * HOP_LENGTH : seek * HOP_LENGTH + N_SAMPLES]
+            segment_frames = min(N_FRAMES, content_frames - seek)
+            segment_duration = segment_frames * HOP_LENGTH / SAMPLE_RATE
+
+            previous = all_tokens if opts.condition_on_previous_text else []
+            prompt_ids = build_prompt(
+                tok, language=opts.language or "zh", task=opts.task,
+                without_timestamps=opts.without_timestamps,
+                previous_tokens=previous,
+                initial_prompt_tokens=() if previous else initial_prompt_tokens,
+            )
+            result = await server.transcribe_window(window, prompt_ids)
+            tokens = result.tokens
+            if (opts.no_speech_threshold is not None
+                    and result.no_speech_prob > opts.no_speech_threshold
+                    and (opts.log_prob_threshold is None
+                         or result.avg_logprob <= opts.log_prob_threshold)):
+                seek += segment_frames
+                continue
+
+            new_segments, seek_advance = self._parse_window_tokens(
+                tokens, time_offset, segment_duration, segment_frames
+            )
+            for s_tokens, s_start, s_end in new_segments:
+                text = tok.decode(s_tokens)
+                if not text.strip():
+                    continue
+                segments.append(Segment(
+                    id=seg_id, seek=seek, start=s_start, end=s_end, text=text,
+                    tokens=s_tokens, avg_logprob=result.avg_logprob,
+                    compression_ratio=compression_ratio(text),
+                    no_speech_prob=result.no_speech_prob,
+                ))
+                seg_id += 1
+                all_tokens.extend(s_tokens)
+            seek += seek_advance
+
+        if speech_chunks is not None and segments:
+            ts_map = SpeechTimestampsMap(speech_chunks, SAMPLE_RATE)
+            for seg in segments:
+                seg.start = ts_map.get_original_time(seg.start)
+                seg.end = ts_map.get_original_time(seg.end)
+        return segments, info
+
     # -- seek loop ------------------------------------------------------------
 
     def _transcribe_windows(self, audio: np.ndarray,
