@@ -22,7 +22,8 @@ import numpy as np
 
 
 def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
-              compute: str, repeats: int = 3, kv_int8: bool = True) -> dict:
+              compute: str, repeats: int = 3, kv_int8: bool = True,
+              cross_kv_int8: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +59,8 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
         n_vocab=base.n_vocab,
     )
     opts = DecodingOptions(beam_size=beam, sample_len=decode_tokens,
-                           without_timestamps=False, kv_int8=kv_int8)
+                           without_timestamps=False, kv_int8=kv_int8,
+                           cross_kv_int8=cross_kv_int8)
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
@@ -114,10 +116,13 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--no-kv-int8", action="store_true",
                         help="disable the int8 self-KV cache")
+    parser.add_argument("--cross-kv-int8", action="store_true",
+                        help="int8 cross-KV via the fused Pallas kernel")
     args = parser.parse_args()
 
     stats = run_bench(args.model, args.batch, args.decode_tokens, args.beam,
-                      args.compute, args.repeats, kv_int8=not args.no_kv_int8)
+                      args.compute, args.repeats, kv_int8=not args.no_kv_int8,
+                      cross_kv_int8=args.cross_kv_int8)
     baseline_rtf = 0.1  # reference GPU RTF (README.md:106)
     print(json.dumps({
         "metric": f"whisper-{args.model}_rtf_per_chip",

@@ -249,3 +249,35 @@ def test_kv_int8_mode_runs(model, enc_out):
         opts=DecodingOptions(sample_len=12, kv_int8=True), ti=_ti(),
     )
     assert np.asarray(out["tokens"]).shape == (1, 12)
+
+
+def test_pallas_cross_attention_matches_xla_fallback():
+    """The fused kernel (interpret mode on CPU) must match the XLA
+    folded-scale path on identical quantized caches."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import _quant_self_attention, quantize_kv
+    from ttasr.ops.cross_attention_pallas import (
+        cross_attention_int8,
+        transpose_scales,
+    )
+
+    rng = np.random.default_rng(3)
+    B, K, H, Dh, S, S_REAL = 2, 5, 4, 64, 96, 90
+    q = jnp.asarray(rng.standard_normal((B, K, H, Dh)), jnp.float32) * 0.5
+    ck = jnp.asarray(rng.standard_normal((B, S, H, Dh)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((B, S, H, Dh)), jnp.float32)
+    ck8, cks = quantize_kv(ck)
+    cv8, cvs = quantize_kv(cv)
+
+    got = np.asarray(cross_attention_int8(
+        q, ck8.reshape(B, S, H * Dh), transpose_scales(cks),
+        cv8.reshape(B, S, H * Dh), transpose_scales(cvs), S_REAL,
+        interpret=True,
+    ))
+    mask = (jnp.arange(S)[None, :] < S_REAL)[None, None]
+    ref = np.asarray(_quant_self_attention(
+        q.reshape(B, K, H, Dh), ck8, cks, cv8, cvs, mask
+    ))
+    assert np.abs(got - ref).max() < 5e-3

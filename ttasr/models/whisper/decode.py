@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ttasr.models.whisper.config import WhisperConfig
+from ttasr.ops.cross_attention_pallas import cross_attention_int8
 from ttasr.models.whisper.model import (
     DecodeCache,
     _attention,
@@ -160,7 +161,8 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
         if cross_quantized:
-            cross = _quant_cross_attention(qc, ck, cks, cv, cvs)
+            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
+                                          cfg.max_source_positions)
         else:
             cross = _cross_attention(qc, ck, cv)
         x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
@@ -242,7 +244,8 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
         if cross_quantized:
-            cross = _quant_cross_attention(qc, ck, cks, cv, cvs)
+            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
+                                          cfg.max_source_positions)
         else:
             cross = _cross_attention(qc, ck, cv)
         x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
@@ -341,6 +344,44 @@ def _apply_rules(logits, *, ti: TokenizerInfo, opts: DecodingOptions,
     logits = jnp.where(force_ts & (~is_ts), NEG_INF, logits)
     return logits
 
+
+
+
+def _untranspose_scales(scales_t, h: int):
+    """Kernel (B, H//2, 8, S) scale layout back to (B, S, H)."""
+    rows = scales_t[:, :, :2, :]                        # (B, P, 2, S)
+    b, p, _, s = rows.shape
+    return jnp.transpose(rows.reshape(b, p * 2, s), (0, 2, 1))
+
+
+def _cross_attn_quantized(qc, cfg: WhisperConfig, ck8, cks_t, cv8, cvs_t,
+                          s_real: int):
+    """Dispatch quantized cross-attention.
+
+    Single-token steps with <=8 beam rows per audio use the fused Pallas
+    kernel (int8 streamed from HBM, converted in VMEM); other shapes
+    (prefill) fall back to the XLA folded-scale path with the padded
+    source slots masked out.
+    """
+    bk, t, h, dh = qc.shape
+    b = ck8.shape[0]
+    group = bk // b
+    on_tpu = jax.default_backend() == "tpu"
+    if t == 1 and group <= 8 and dh == 64 and h % 2 == 0:
+        out = cross_attention_int8(
+            qc.reshape(b, group, h, dh), ck8.reshape(b, ck8.shape[1], h * dh),
+            cks_t, cv8.reshape(b, cv8.shape[1], h * dh), cvs_t, s_real,
+            interpret=not on_tpu,
+        )
+        return out.reshape(bk, t, h, dh).astype(qc.dtype)
+    # XLA fallback (prefill): folded scales + mask of the padded slots
+    cks = _untranspose_scales(cks_t, h)
+    cvs = _untranspose_scales(cvs_t, h)
+    s = ck8.shape[1]
+    qg = qc.reshape(b, group * t, h, dh)
+    mask = (jnp.arange(s)[None, :] < s_real)[None, None]
+    out = _quant_self_attention(qg, ck8, cks, cv8, cvs, mask)
+    return out.reshape(bk, t, h, dh)
 
 def _growth_buckets(max_prompt: int, sample_len: int):
     """Static cache-length schedule: the per-step beam gather and

@@ -333,8 +333,20 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
     empty = jnp.zeros((0,), jnp.float32)
     cks = cvs = empty
     if cross_kv_int8:
+        from ttasr.ops.cross_attention_pallas import transpose_scales
+
+        # pad source length to a sublane multiple for the Pallas kernel
+        s_len = ck.shape[2]
+        s_pad = (-s_len) % 8
+        if s_pad:
+            widths = ((0, 0), (0, 0), (0, s_pad), (0, 0), (0, 0))
+            ck = jnp.pad(ck, widths)
+            cv = jnp.pad(cv, widths)
         ck, cks = jax.vmap(quantize_kv)(ck)
         cv, cvs = jax.vmap(quantize_kv)(cv)
+        # scales stored in the kernel's (B, H//2, 8, S) layout
+        cks = jax.vmap(transpose_scales)(cks)
+        cvs = jax.vmap(transpose_scales)(cvs)
     if kv_int8:
         scale_shape = shape[:-1]
         return DecodeCache(
