@@ -482,9 +482,6 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         rng=rng,
     )
 
-    def cond(s):
-        return (s["step"] < opts.sample_len) & (~jnp.all(s["finished"]))
-
     def body(s):
         logits = _apply_rules(
             s["logits"], ti=ti, opts=opts, static_mask=static_mask,
@@ -632,9 +629,6 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         fin_count=jnp.zeros((b,), jnp.int32),
         step=jnp.asarray(0, jnp.int32),
     )
-
-    def cond(s):
-        return (s["step"] < opts.sample_len) & (~jnp.all(s["fin_count"] >= max_finished))
 
     def body(s):
         logits = _apply_rules(
