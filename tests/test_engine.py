@@ -144,3 +144,12 @@ def test_detect_language(engine):
     assert 0 < prob <= 1
     assert abs(sum(p for _, p in ranked) - 1.0) < 1e-4
     assert ranked[0][0] == lang
+
+
+def test_language_auto_detection(engine):
+    segments, info = engine.transcribe(
+        _speechy_audio(1.0), language=None, beam_size=1, vad_filter=False,
+        max_new_tokens=4, temperature=(0.0,),
+    )
+    assert info.language in TOK.language_ids
+    assert 0 < info.language_probability <= 1

@@ -237,6 +237,12 @@ class WhisperEngine:
             audio = audio.mean(axis=0)
         duration = len(audio) / SAMPLE_RATE
 
+        language_probability = 1.0
+        if opts.language is None and len(audio) > 0:
+            # faster-whisper auto-detects from the first window
+            lang, language_probability, _ = self.detect_language(audio)
+            opts = dataclasses.replace(opts, language=lang)
+
         speech_chunks = None
         if opts.vad_filter:
             vad_opts = opts.vad_parameters or VadOptions()
@@ -249,7 +255,7 @@ class WhisperEngine:
 
         info = TranscriptionInfo(
             language=opts.language or "zh",
-            language_probability=1.0,
+            language_probability=language_probability,
             duration=duration,
             duration_after_vad=duration_after_vad,
         )
