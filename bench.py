@@ -16,9 +16,15 @@ Prints ONE JSON line.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: repeated bench runs skip the multi-
+# minute remote TPU compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ttasr-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 
 def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
