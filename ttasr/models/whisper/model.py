@@ -173,11 +173,24 @@ def _attention(q, k, v, mask=None):
     return out
 
 
-def _self_attn(x, blk, n_heads, mask=None):
+def _use_fused_encoder_attention(dh: int) -> bool:
+    """Fused Pallas self-attention: TPU only, Whisper's 64-dim heads."""
+    return dh == 64 and jax.default_backend() == "tpu"
+
+
+def _self_attn(x, blk, n_heads, mask=None, fused: bool = False):
     q = _split_heads(_proj(x, blk["wq"], blk["bq"]), n_heads)
     k = _split_heads(_proj(x, blk["wk"]), n_heads)
     v = _split_heads(_proj(x, blk["wv"], blk["bv"]), n_heads)
-    out = _attention(q, k, v, mask)
+    if fused and mask is None and _use_fused_encoder_attention(q.shape[-1]):
+        # full non-causal attention: scores never leave VMEM.
+        # Inference-only (pallas_call has no VJP) — training passes
+        # fused=False via encode(remat=...).
+        from ttasr.ops.encoder_attention_pallas import encoder_self_attention
+
+        out = encoder_self_attention(q, k, v)
+    else:
+        out = _attention(q, k, v, mask)
     return _proj(_merge_heads(out), blk["wo"], blk["bo"])
 
 
@@ -190,7 +203,8 @@ def _mlp(x, blk):
 # Encoder
 # ---------------------------------------------------------------------------
 
-def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False):
+def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
+           fused_attention: Optional[bool] = None):
     """mel: (B, n_mels, 3000) -> hidden states (B, 1500, d_model)."""
     enc = params["encoder"]
     x = jnp.swapaxes(mel, 1, 2)  # NWC
@@ -210,8 +224,13 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False):
     x = jax.nn.gelu(x, approximate=False)
     x = x + enc["pos"].astype(x.dtype)
 
+    # fused Pallas attention only on the inference path: training must
+    # use the XLA attention because pallas_call is not differentiable.
+    fused = (not remat) if fused_attention is None else fused_attention
+
     def block(x, blk):
-        x = x + _self_attn(_ln(x, blk["ln1_s"], blk["ln1_b"]), blk, cfg.encoder_heads)
+        x = x + _self_attn(_ln(x, blk["ln1_s"], blk["ln1_b"]), blk,
+                           cfg.encoder_heads, fused=fused)
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         return x, None
 

@@ -72,7 +72,8 @@ def loss_fn(params, cfg: WhisperConfig, batch, *, remat: bool = False,
     enc_params = params
     if freeze_encoder:
         enc_params = jax.tree.map(jax.lax.stop_gradient, params)
-    enc_out = encode(enc_params, cfg, batch["mel"], remat=remat)
+    enc_out = encode(enc_params, cfg, batch["mel"], remat=remat,
+                     fused_attention=False)
     if freeze_encoder:
         enc_out = jax.lax.stop_gradient(enc_out)
     logits = decode_train(params, cfg, batch["decoder_input_ids"], enc_out,
