@@ -369,3 +369,27 @@ def test_password_hash_passlib_format():
         + fixed.rsplit("$", 1)[1]
     )
     assert verify_password("abc", fixed)
+
+
+def test_process_audio_file_helper(api_env, tmp_path):
+    import numpy as np
+
+    import ttasr.api.file_tasks as ft
+    from ttasr.audio.io import write_wav
+
+    ft.load_model()  # installs the FakeEngine via the monkeypatched seam
+    wav_path = str(tmp_path / "x.wav")
+    write_wav(wav_path, 0.1 * np.sin(np.linspace(0, 100, 3200)).astype(np.float32))
+    out = ft.process_audio_file(wav_path, reference_text="這是單元測試")
+    assert out["success"] is True
+    assert out["asr_result"] == "這是單元測試"
+    assert out["cer_result"]["cer_rate"] == 0.0
+    assert out["processing_time"] >= 0
+
+
+def test_convert_time_format():
+    from ttasr.cli.asr import convert_time
+
+    assert convert_time(0.0) == "00:00:00.000"
+    assert convert_time(3661.5) == "01:01:01.500"
+    assert convert_time(59.9996) == "00:01:00.000"

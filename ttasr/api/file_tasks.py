@@ -175,6 +175,42 @@ async def _worker(task_id: int, file_path: str, task_dir: str,
         _update_task(task_id, status=STATUS_FAILED, error=str(exc))
 
 
+def process_audio_file(audio_file_path: str,
+                       reference_text: Optional[str] = None) -> dict:
+    """Synchronous single-file transcription helper
+    (reference file_asr.py:258-338): transcribe, post-process, optional
+    CER vs ``reference_text``; returns the success/error dict shape."""
+    import time as _time
+
+    if not load_model():
+        return {"error": "模型載入失敗"}
+    try:
+        t0 = _time.time()
+        segments, info = whisper_engine.transcribe(
+            audio_file_path, language="zh", word_timestamps=False,
+            vad_filter=True, beam_size=5, condition_on_previous_text=True,
+            initial_prompt="",
+        )
+        processing_time = _time.time() - t0
+        text = "".join(seg.text for seg in segments)
+        processed_text = postprocess_transcript(text)
+        result: dict = {
+            "success": True,
+            "asr_result": processed_text,
+            "original_text": reference_text,
+            "cer_result": None,
+            "processing_time": processing_time,
+        }
+        if reference_text:
+            cer = compare_texts(reference_text, processed_text)
+            if cer is not None:
+                result["cer_result"] = cer.to_dict()
+        return result
+    except Exception as exc:
+        logger.exception("process_audio_file failed")
+        return {"error": f"處理音檔時發生錯誤: {exc}"}
+
+
 # ---------------------------------------------------------------------------
 # Handlers
 # ---------------------------------------------------------------------------

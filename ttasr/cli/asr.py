@@ -37,6 +37,18 @@ TRANSCRIPT_PATTERNS = [
 ]
 
 
+def convert_time(time_value: float) -> str:
+    """Seconds -> ``HH:MM:SS.mmm`` (reference asr_core.py:46-58)."""
+    seconds = int(time_value)
+    ms = int(round((time_value - seconds) * 1000))
+    if ms >= 1000:
+        seconds += 1
+        ms -= 1000
+    hours, rem = divmod(seconds, 3600)
+    minutes, secs = divmod(rem, 60)
+    return f"{hours:02d}:{minutes:02d}:{secs:02d}.{ms:03d}"
+
+
 def find_original_transcript(audio_file: str) -> Optional[str]:
     """Locate the matching ground-truth transcript (reference asr_core.py:87-106)."""
     audio_dir = os.path.dirname(audio_file)
