@@ -85,6 +85,34 @@ def test_dryrun_multichip_entry():
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_env_lies_about_backend():
+    """Regression for VERDICT.md round-1 weak #1: the driver sets
+    JAX_PLATFORMS=cpu but the sitecustomize-pinned backend has 1 device.
+    The gate must inspect jax.devices(), never the env var.  Simulated
+    here with a subprocess whose backend initializes with ONE cpu device
+    before dryrun_multichip(8) is called — the entry must detect the
+    mismatch and recover via its clean-subprocess fallback."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # env claims cpu...
+    env.pop("XLA_FLAGS", None)    # ...but no virtual-device flag: 1 device
+    env.pop("TTASR_DRYRUN_SUBPROCESS", None)
+    env["PYTHONPATH"] = repo
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "devs = jax.devices(); assert len(devs) == 1, devs; "
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr}"
+    assert "dryrun_multichip ok" in proc.stdout
+
+
 def test_entry_compiles():
     import jax
 
