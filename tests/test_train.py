@@ -187,3 +187,156 @@ def test_gradient_accumulation(tmp_path):
     examples = load_tsv_corpus(CORPUS, "train_ds_01", "train")
     metrics = trainer.train(examples)
     assert np.isfinite(metrics["train_loss"])
+
+
+def test_spec_augment_masks_within_valid_frames():
+    import jax
+
+    from ttasr.train.spec_augment import SpecAugmentConfig, spec_augment
+
+    rng = jax.random.PRNGKey(0)
+    mel = np.ones((2, 80, 300), np.float32)
+    num_frames = np.array([200, 300], np.int32)
+    cfg = SpecAugmentConfig(mask_time_prob=0.2, mask_time_length=10,
+                            mask_time_min_masks=2,
+                            mask_feature_prob=0.1, mask_feature_length=8,
+                            mask_feature_min_masks=1)
+    out = np.asarray(jax.jit(
+        lambda r, m, n: spec_augment(r, m, n, cfg)
+    )(rng, mel, num_frames))
+    assert out.shape == mel.shape
+    # some spans zeroed
+    assert (out == 0.0).sum() > 0
+    # row 0: no time mask beyond its 200 valid frames (columns fully
+    # zeroed past 200 would mean a time mask escaped the valid region;
+    # feature masks zero whole rows, not whole columns)
+    tail_cols_fully_zero = np.all(out[0, :, 210:] == 0.0, axis=0)
+    assert not tail_cols_fully_zero.any()
+    # statistical sanity: masked fraction in the right ballpark (< 60%)
+    assert (out == 0.0).mean() < 0.6
+
+
+def test_spec_augment_min_masks():
+    import jax
+
+    from ttasr.train.spec_augment import SpecAugmentConfig, spec_augment
+
+    # prob 0 but min_masks 2 -> still masks 2 time spans per row
+    cfg = SpecAugmentConfig(mask_time_prob=0.0, mask_time_length=5,
+                            mask_time_min_masks=2, mask_feature_prob=0.0,
+                            mask_feature_min_masks=0)
+    mel = np.ones((1, 4, 100), np.float32)
+    out = np.asarray(spec_augment(jax.random.PRNGKey(1), mel,
+                                  np.array([100], np.int32), cfg))
+    zero_cols = np.all(out[0] == 0.0, axis=0).sum()
+    assert 5 <= zero_cols <= 10  # 2 spans of 5, possibly overlapping
+
+
+def test_train_step_with_spec_augment_and_bf16():
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.train.spec_augment import SpecAugmentConfig
+
+    cfg = _micro_cfg()
+    params = init_params(cfg, seed=0)
+    optimizer = make_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    state = init_train_state(params, optimizer)
+    step_fn = make_train_step(cfg, optimizer,
+                              spec_augment_cfg=SpecAugmentConfig(),
+                              compute_dtype=jnp.bfloat16)
+    examples = load_tsv_corpus(CORPUS, "train_ds_01", "train")
+    it = batch_iterator(examples, TOK, batch_size=2, n_mels=80, label_pad_to=32)
+    batch = next(it)
+    assert "num_frames" in batch
+    state, loss = step_fn(state, batch)
+    assert np.isfinite(float(loss))
+    # master params stay f32 under mixed precision
+    leaf = next(iter(jax.tree_util.tree_leaves(state.params)))
+    assert leaf.dtype == jnp.float32
+
+
+def test_group_by_length_ordering():
+    import random as pyrandom
+
+    from ttasr.train.data import length_grouped_order
+
+    lengths = list(range(1, 101))
+    order = length_grouped_order(lengths, batch_size=4, rng=pyrandom.Random(0),
+                                 mega_factor=5)
+    assert sorted(order) == list(range(100))
+    # longest element overall comes first (HF LengthGroupedSampler swap)
+    assert lengths[order[0]] == 100
+    # within each megabatch of 20, lengths descend
+    for i in range(0, 100, 20):
+        mb = [lengths[j] for j in order[i : i + 20]]
+        assert mb == sorted(mb, reverse=True)
+
+
+def test_group_by_length_batches_similar_durations():
+    examples = load_tsv_corpus(CORPUS, "train_ds_01+train_ds_02",
+                               "train+validated")
+    it = batch_iterator(examples, TOK, batch_size=2, n_mels=80,
+                        group_by_length=True, label_pad_to=32, epochs=1)
+    batches = list(it)
+    assert batches and all(b["mel"].shape[0] == 2 for b in batches)
+
+
+def test_streaming_iterator_matches_eager():
+    from ttasr.train.data import iter_tsv_corpus
+
+    eager = load_tsv_corpus(CORPUS, "train_ds_01+train_ds_02", "train")
+    streamed = list(iter_tsv_corpus(CORPUS, "train_ds_01+train_ds_02", "train"))
+    assert [e.audio_path for e in eager] == [e.audio_path for e in streamed]
+
+
+def test_streaming_batch_iterator_never_materializes():
+    """A generator-backed corpus trains without a materialized dataset."""
+    from ttasr.train.data import iter_tsv_corpus
+
+    def factory():
+        return iter_tsv_corpus(CORPUS, "train_ds_01", "train")
+
+    it = batch_iterator(factory, TOK, batch_size=2, n_mels=80,
+                        label_pad_to=32, epochs=2)
+    batches = list(it)
+    assert len(batches) == 4  # 4 examples -> 2 batches/epoch x 2 epochs
+    with pytest.raises(ValueError):
+        next(batch_iterator(factory, TOK, batch_size=2, n_mels=80,
+                            group_by_length=True))
+
+
+def test_streaming_cli_flag(tmp_path):
+    from ttasr.cli.train import main
+
+    metrics = main([
+        "--model_name_or_path", "micro-test",
+        "--corpus_data_dir", CORPUS,
+        "--dataset_config_name", "train_ds_01",
+        "--train_split_name", "train",
+        "--output_dir", str(tmp_path),
+        "--max_steps", "2",
+        "--per_device_train_batch_size", "2",
+        "--logging_steps", "1", "--warmup_steps", "1",
+        "--eval_steps", "1000", "--save_steps", "1000",
+        "--do_train", "--streaming",
+    ])
+    assert np.isfinite(metrics["train_loss"])
+
+
+def test_forced_decoder_ids_and_suppress_tokens(tmp_path):
+    from ttasr.train.trainer import Trainer, TrainerConfig
+
+    cfg = _micro_cfg()
+    params = init_params(cfg, seed=0)
+    forced = [[1, TOK.encode("a")[0]], [2, TOK.encode("b")[0]]]
+    tc = TrainerConfig(
+        output_dir=str(tmp_path), max_steps=1,
+        per_device_train_batch_size=2, warmup_steps=1,
+        generation_max_length=8, gradient_checkpointing=False,
+        forced_decoder_ids=forced, suppress_tokens=[TOK.encode("c")[0]],
+    )
+    trainer = Trainer(params, cfg, TOK, tc)
+    examples = load_tsv_corpus(CORPUS, "train_ds_01", "train")
+    metrics = trainer.evaluate(examples)
+    assert "eval_cer" in metrics and metrics["eval_samples"] == 4

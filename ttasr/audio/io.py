@@ -135,6 +135,39 @@ def load_audio(
     return np.ascontiguousarray(audio, dtype=np.float32), sr
 
 
+def probe_num_samples(path: str, sr: int = 16000) -> int:
+    """Sample count at ``sr`` Hz without decoding when possible.
+
+    WAV: header-only (``wave`` stdlib).  Other containers: ffprobe
+    duration, falling back to a full decode.  Used for length-grouped
+    batching (reference run.sh:33 ``group_by_length`` — HF sorts by the
+    decoded ``input_length``; a header probe gives the same ordering
+    without decoding the whole corpus up front).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        try:
+            import wave
+
+            with wave.open(path, "rb") as wf:
+                return int(wf.getnframes() * sr / wf.getframerate())
+        except Exception:
+            pass
+    ffprobe = shutil.which("ffprobe")
+    if ffprobe:
+        proc = subprocess.run(
+            [ffprobe, "-v", "quiet", "-show_entries", "format=duration",
+             "-of", "csv=p=0", path],
+            capture_output=True, text=True, check=False,
+        )
+        try:
+            return int(float(proc.stdout.strip()) * sr)
+        except ValueError:
+            pass
+    audio, _ = load_audio(path, sr=sr)
+    return len(audio)
+
+
 def write_wav(path: str, audio: np.ndarray, sr: int = 16000) -> None:
     """Write float32 mono audio as 16-bit PCM WAV."""
     with wave.open(path, "wb") as wf:

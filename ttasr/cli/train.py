@@ -23,6 +23,7 @@ SURVEY.md §2.3).
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 import sys
@@ -37,6 +38,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokenizer_name", default=None)
     p.add_argument("--freeze_feature_encoder", action="store_true", default=True)
     p.add_argument("--freeze_encoder", action="store_true", default=False)
+    p.add_argument("--forced_decoder_ids", default=None,
+                   help='JSON list of [index, token] pairs forced at '
+                        'generation (train_asr.py:125-131), e.g. "[[1,123]]"')
+    p.add_argument("--suppress_tokens", default=None,
+                   help='JSON list of token ids suppressed at generation '
+                        '(train_asr.py:132-138), e.g. "[1,2,3]"')
+    p.add_argument("--apply_spec_augment", action="store_true", default=False)
+    p.add_argument("--mask_time_prob", type=float, default=0.05)
+    p.add_argument("--mask_time_length", type=int, default=10)
+    p.add_argument("--mask_time_min_masks", type=int, default=2)
+    p.add_argument("--mask_feature_prob", type=float, default=0.0)
+    p.add_argument("--mask_feature_length", type=int, default=10)
+    p.add_argument("--mask_feature_min_masks", type=int, default=0)
     # DataTrainingArguments (train_asr.py:147-265)
     p.add_argument("--corpus_data_dir", required=True)
     p.add_argument("--dataset_config_name", required=True)
@@ -64,6 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_steps", type=int, default=1000)
     p.add_argument("--save_steps", type=int, default=1000)
     p.add_argument("--generation_max_length", type=int, default=225)
+    p.add_argument("--group_by_length", action="store_true", default=False)
     p.add_argument("--gradient_checkpointing", action="store_true", default=False)
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
@@ -85,29 +100,45 @@ def main(argv=None) -> dict:
 
     from ttasr.models.whisper.load import load_whisper
     from ttasr.text.tokenizer import load_tokenizer
-    from ttasr.train.data import load_tsv_corpus, prepare_example
+    from ttasr.train.data import iter_tsv_corpus, load_tsv_corpus, prepare_example
     from ttasr.train.trainer import Trainer, TrainerConfig
 
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    params, cfg = load_whisper(args.model_name_or_path, dtype=dtype)
+    # master params always f32; --compute_dtype bfloat16 = mixed precision
+    # (forward cast in the loss fn, f32 grads/optimizer state)
+    params, cfg = load_whisper(args.model_name_or_path, dtype=jnp.float32)
     tokenizer = load_tokenizer(args.tokenizer_name or args.model_name_or_path)
 
-    train_examples = load_tsv_corpus(
-        args.corpus_data_dir, args.dataset_config_name, args.train_split_name
-    )
+    if args.streaming:
+        # lazy per-epoch iterator: nothing materialized (train_asr.py:176-183)
+        def train_examples():
+            it = iter_tsv_corpus(args.corpus_data_dir,
+                                 args.dataset_config_name,
+                                 args.train_split_name)
+            if args.max_train_samples:
+                import itertools
+
+                return itertools.islice(it, args.max_train_samples)
+            return it
+        logging.info("train corpus: streaming")
+    else:
+        train_examples = load_tsv_corpus(
+            args.corpus_data_dir, args.dataset_config_name,
+            args.train_split_name
+        )
+        if args.max_train_samples:
+            train_examples = train_examples[: args.max_train_samples]
+        logging.info("train=%d examples", len(train_examples))
     eval_examples = load_tsv_corpus(
         args.corpus_data_dir, args.dataset_config_name, args.eval_split_name
     ) if args.do_eval else []
-    if args.max_train_samples:
-        train_examples = train_examples[: args.max_train_samples]
     if args.max_eval_samples:
         eval_examples = eval_examples[: args.max_eval_samples]
-    logging.info("train=%d eval=%d examples", len(train_examples), len(eval_examples))
 
     if args.preprocessing_only:
         # escape hatch (train_asr.py:656-659): verify preprocessing, exit
+        source = train_examples() if callable(train_examples) else train_examples
         count = sum(
-            1 for ex in train_examples
+            1 for ex in source
             if prepare_example(ex, tokenizer, language=args.language,
                                task=args.task,
                                max_duration_s=args.max_duration_in_seconds)
@@ -144,6 +175,19 @@ def main(argv=None) -> dict:
         freeze_encoder=args.freeze_encoder,
         seed=args.seed,
         resume_from_checkpoint=args.resume_from_checkpoint,
+        apply_spec_augment=args.apply_spec_augment,
+        mask_time_prob=args.mask_time_prob,
+        mask_time_length=args.mask_time_length,
+        mask_time_min_masks=args.mask_time_min_masks,
+        mask_feature_prob=args.mask_feature_prob,
+        mask_feature_length=args.mask_feature_length,
+        mask_feature_min_masks=args.mask_feature_min_masks,
+        group_by_length=args.group_by_length,
+        forced_decoder_ids=(json.loads(args.forced_decoder_ids)
+                            if args.forced_decoder_ids else None),
+        suppress_tokens=(json.loads(args.suppress_tokens)
+                         if args.suppress_tokens else None),
+        compute_dtype=args.compute_dtype,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     trainer = Trainer(params, cfg, tokenizer, tc, mesh=mesh)

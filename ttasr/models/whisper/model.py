@@ -222,7 +222,9 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
         preferred_element_type=jnp.float32,
     ).astype(dtype) + enc["conv2_b"]
     x = jax.nn.gelu(x, approximate=False)
-    x = x + enc["pos"].astype(x.dtype)
+    # blocks run in the transformer-param dtype (mixed precision keeps the
+    # stem convs f32; this cast is a no-op when all params share a dtype)
+    x = x.astype(enc["pos"].dtype) + enc["pos"]
 
     # The fused Pallas attention wins in isolation (5.1 vs 7.9 ms/layer)
     # but loses end-to-end (RTF 0.0168 vs 0.0154): the pallas_call is a

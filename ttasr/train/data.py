@@ -21,8 +21,8 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ttasr.audio.io import load_audio
-from ttasr.ops.mel import N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from ttasr.audio.io import load_audio, probe_num_samples
+from ttasr.ops.mel import HOP_LENGTH, N_FRAMES, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
 
 LABEL_PAD = -100
 
@@ -33,8 +33,39 @@ class CorpusExample:
     sentence: str
 
 
-def _read_tsv(path: str) -> List[CorpusExample]:
-    examples: List[CorpusExample] = []
+def load_tsv_corpus(corpus_data_dir: str, dataset_config_name: str,
+                    split_name: str) -> List[CorpusExample]:
+    """Load ``+``-joined configs x ``+``-joined splits, concatenated.
+
+    Mirrors load_maybe_streaming_dataset (reference train_asr.py:400-468):
+    file pattern ``{dir}/{config}/{split}*.tsv``.
+    """
+    return list(iter_tsv_corpus(corpus_data_dir, dataset_config_name,
+                                split_name))
+
+
+def iter_tsv_corpus(corpus_data_dir: str, dataset_config_name: str,
+                    split_name: str) -> Iterator[CorpusExample]:
+    """Streaming corpus iterator: yields rows without materializing.
+
+    The true ``--streaming`` path (reference train_asr.py:176-183,
+    400-468: HF IterableDataset) — a 200 h corpus never needs to fit in
+    host RAM; rows stream from the TSVs in file order and audio decodes
+    lazily in :func:`prepare_example`.
+    """
+    clip_dirs = []
+    for config in dataset_config_name.split("+"):
+        for split in split_name.split("+"):
+            pattern = os.path.join(corpus_data_dir, config, f"{split}*.tsv")
+            matches = sorted(glob.glob(pattern))
+            if not matches:
+                raise FileNotFoundError(f"no TSV matches {pattern}")
+            clip_dirs.extend(matches)
+    for tsv in clip_dirs:
+        yield from _iter_tsv(tsv)
+
+
+def _iter_tsv(path: str) -> Iterator[CorpusExample]:
     clips_dir = os.path.join(os.path.dirname(path), "clips")
     with open(path, encoding="utf-8") as fh:
         header = fh.readline().rstrip("\n").split("\t")
@@ -42,7 +73,6 @@ def _read_tsv(path: str) -> List[CorpusExample]:
             path_col = header.index("path")
             sent_col = header.index("sentence")
         except ValueError:
-            # headerless TSV: assume (path, sentence)
             fh.seek(0)
             path_col, sent_col = 0, 1
         for line in fh:
@@ -52,27 +82,7 @@ def _read_tsv(path: str) -> List[CorpusExample]:
             rel, sentence = parts[path_col], parts[sent_col]
             if not rel or not sentence:
                 continue
-            examples.append(CorpusExample(os.path.join(clips_dir, rel), sentence))
-    return examples
-
-
-def load_tsv_corpus(corpus_data_dir: str, dataset_config_name: str,
-                    split_name: str) -> List[CorpusExample]:
-    """Load ``+``-joined configs x ``+``-joined splits, concatenated.
-
-    Mirrors load_maybe_streaming_dataset (reference train_asr.py:400-468):
-    file pattern ``{dir}/{config}/{split}*.tsv``.
-    """
-    examples: List[CorpusExample] = []
-    for config in dataset_config_name.split("+"):
-        for split in split_name.split("+"):
-            pattern = os.path.join(corpus_data_dir, config, f"{split}*.tsv")
-            matches = sorted(glob.glob(pattern))
-            if not matches:
-                raise FileNotFoundError(f"no TSV matches {pattern}")
-            for tsv in matches:
-                examples.extend(_read_tsv(tsv))
-    return examples
+            yield CorpusExample(os.path.join(clips_dir, rel), sentence)
 
 
 def prepare_example(example: CorpusExample, tokenizer, *,
@@ -102,9 +112,14 @@ def collate_batch(prepared: Sequence[dict], n_mels: int, eot: int,
     """
     batch = len(prepared)
     audio = np.zeros((batch, N_SAMPLES), np.float32)
+    num_frames = np.zeros((batch,), np.int32)
     for i, ex in enumerate(prepared):
         a = ex["audio"][:N_SAMPLES]
         audio[i, : len(a)] = a
+        # valid mel frames per row: lets SpecAugment stay inside real
+        # audio (the reference's forward_attention_mask role,
+        # train_asr.py:590-619)
+        num_frames[i] = min(len(a) // HOP_LENGTH, N_FRAMES)
     mel = np.asarray(log_mel_spectrogram(audio, n_mels=n_mels))
 
     label_len = min(max(len(ex["labels"]) for ex in prepared), max_label_len)
@@ -114,24 +129,71 @@ def collate_batch(prepared: Sequence[dict], n_mels: int, eot: int,
         lab = ex["labels"][:label_len]
         inputs[i, : len(lab) - 1] = lab[:-1]
         targets[i, : len(lab) - 1] = lab[1:]
-    return {"mel": mel, "decoder_input_ids": inputs, "labels": targets}
+    return {"mel": mel, "decoder_input_ids": inputs, "labels": targets,
+            "num_frames": num_frames}
 
 
-def batch_iterator(examples: List[CorpusExample], tokenizer, *,
+def length_grouped_order(lengths: Sequence[int], batch_size: int,
+                         rng: random.Random,
+                         mega_factor: int = 50) -> List[int]:
+    """HF ``LengthGroupedSampler`` semantics (run.sh:33 group_by_length):
+    shuffle, split into megabatches of ``batch_size * 50``, sort each by
+    length descending, then swap the globally-longest element to the
+    front so any OOM hits on step 1."""
+    n = len(lengths)
+    indices = list(range(n))
+    rng.shuffle(indices)
+    mega = batch_size * mega_factor
+    megabatches = [
+        sorted(indices[i : i + mega], key=lambda j: lengths[j], reverse=True)
+        for i in range(0, n, mega)
+    ]
+    if megabatches and megabatches[0]:
+        longest_mb = max(range(len(megabatches)),
+                         key=lambda m: lengths[megabatches[m][0]])
+        megabatches[0][0], megabatches[longest_mb][0] = (
+            megabatches[longest_mb][0], megabatches[0][0],
+        )
+    return [j for mb in megabatches for j in mb]
+
+
+def batch_iterator(examples, tokenizer, *,
                    batch_size: int, n_mels: int, seed: int = 0,
                    shuffle: bool = True, drop_last: bool = True,
                    epochs: Optional[int] = None, label_pad_to: int = 128,
+                   group_by_length: bool = False,
                    **prep_kwargs) -> Iterator[dict]:
-    """Host-side batching with fixed label padding (static shapes for jit)."""
+    """Host-side batching with fixed label padding (static shapes for jit).
+
+    ``examples`` is either a materialized list or a zero-arg callable
+    returning a fresh iterator per epoch (the ``--streaming`` path —
+    reference train_asr.py:176-183: rows stream in file order, unshuffled,
+    like an HF IterableDataset).
+    """
+    streaming = callable(examples)
+    if group_by_length and streaming:
+        raise ValueError("group_by_length requires a materialized dataset; "
+                         "it cannot be combined with --streaming")
     rng = random.Random(seed)
+    lengths: Optional[List[int]] = None
     epoch = 0
     while epochs is None or epoch < epochs:
-        order = list(range(len(examples)))
-        if shuffle:
-            rng.shuffle(order)
+        if streaming:
+            source: Iterator[CorpusExample] = examples()
+        elif group_by_length:
+            if lengths is None:
+                lengths = [probe_num_samples(ex.audio_path)
+                           for ex in examples]
+            order = length_grouped_order(lengths, batch_size, rng)
+            source = (examples[i] for i in order)
+        else:
+            order = list(range(len(examples)))
+            if shuffle:
+                rng.shuffle(order)
+            source = (examples[i] for i in order)
         buf: List[dict] = []
-        for idx in order:
-            prepared = prepare_example(examples[idx], tokenizer, **prep_kwargs)
+        for example in source:
+            prepared = prepare_example(example, tokenizer, **prep_kwargs)
             if prepared is None:
                 continue
             buf.append(prepared)

@@ -3,9 +3,11 @@
 Replaces Seq2SeqTrainer.train() internals (reference train_asr.py:697-716,
 run.sh hyperparameters): AdamW + linear warmup, label smoothing off,
 -100 masking, gradient clipping, optional remat (the reference's
-``gradient_checkpointing``, run.sh:37), bf16 compute with f32 master
-params.  Data parallelism shards the batch over the mesh "data" axis;
-tensor parallelism (mesh "model" axis) reuses the inference shardings.
+``gradient_checkpointing``, run.sh:37), optional mixed precision
+(``compute_dtype=bfloat16`` casts the forward only; master params and
+grads stay f32).  Data parallelism shards the batch over the mesh
+"data" axis; tensor parallelism (mesh "model" axis) reuses the
+inference shardings.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ import optax
 
 from ttasr.models.whisper.config import WhisperConfig
 from ttasr.models.whisper.model import decode_train, encode
+from ttasr.train.spec_augment import SpecAugmentConfig, spec_augment
 
 LABEL_PAD = -100
 
@@ -68,7 +71,24 @@ def make_optimizer(learning_rate: float = 1e-5, warmup_steps: int = 500,
 
 
 def loss_fn(params, cfg: WhisperConfig, batch, *, remat: bool = False,
-            freeze_encoder: bool = False):
+            freeze_encoder: bool = False, compute_dtype=None):
+    if compute_dtype is not None:
+        # Mixed precision: f32 master params (the optimizer state) with a
+        # low-precision forward/backward — grads flow back through the
+        # cast and land in f32.  The reference's fp16 Trainer recipe
+        # (run.sh:36) mapped to the TPU-native bf16 idiom.
+        def cast(path, x):
+            if not (hasattr(x, "astype")
+                    and jnp.issubdtype(x.dtype, jnp.floating)):
+                return x
+            # stem convs stay f32: conv_general_dilated's transpose can't
+            # mix a f32 cotangent with bf16 kernels, and two small convs
+            # cost nothing next to the transformer stack
+            if any("conv" in getattr(k, "key", "") for k in path):
+                return x
+            return x.astype(compute_dtype)
+
+        params = jax.tree_util.tree_map_with_path(cast, params)
     enc_params = params
     if freeze_encoder:
         enc_params = jax.tree.map(jax.lax.stop_gradient, params)
@@ -83,17 +103,28 @@ def loss_fn(params, cfg: WhisperConfig, batch, *, remat: bool = False,
 
 def make_train_step(cfg: WhisperConfig, optimizer: optax.GradientTransformation,
                     *, mesh=None, remat: bool = False,
-                    freeze_encoder: bool = False) -> Callable:
+                    freeze_encoder: bool = False,
+                    spec_augment_cfg: Optional[SpecAugmentConfig] = None,
+                    compute_dtype=None, seed: int = 0) -> Callable:
     """Build the jitted (optionally mesh-sharded) train step.
 
     With a mesh, params follow :func:`ttasr.parallel.param_pspecs` and the
     batch shards over "data"; XLA emits the grad all-reduce over ICI.
+    ``spec_augment_cfg`` enables input-feature masking (reference
+    train_asr.py:139-144), keyed deterministically off the step counter.
     """
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        if spec_augment_cfg is not None:
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+            batch = dict(batch)
+            batch["mel"] = spec_augment(
+                rng, batch["mel"], batch["num_frames"], spec_augment_cfg
+            )
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(p, cfg, batch, remat=remat,
-                              freeze_encoder=freeze_encoder)
+                              freeze_encoder=freeze_encoder,
+                              compute_dtype=compute_dtype)
         )(state.params)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
@@ -107,15 +138,12 @@ def make_train_step(cfg: WhisperConfig, optimizer: optax.GradientTransformation,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     # Params/opt_state keep the shardings they were placed with
-    # (ttasr.parallel.shard_params); only the batch needs explicit specs.
-    batch_sharding = {
-        "mel": NamedSharding(mesh, P("data", None, None)),
-        "decoder_input_ids": NamedSharding(mesh, P("data", None)),
-        "labels": NamedSharding(mesh, P("data", None)),
-    }
+    # (ttasr.parallel.shard_params).  The batch shards dim 0 over "data"
+    # for every leaf (prefix spec — robust to optional keys like
+    # num_frames); remaining dims replicate.
     return jax.jit(
         train_step,
-        in_shardings=(None, batch_sharding),
+        in_shardings=(None, NamedSharding(mesh, P("data"))),
         donate_argnums=(0,),
     )
 

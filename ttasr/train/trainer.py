@@ -74,6 +74,21 @@ class TrainerConfig:
     label_pad_to: int = 128
     seed: int = 42
     resume_from_checkpoint: Optional[str] = None
+    # reference train_asr.py:139-144 + HF WhisperConfig mask defaults
+    apply_spec_augment: bool = False
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
+    mask_feature_min_masks: int = 0
+    # reference run.sh:33
+    group_by_length: bool = False
+    # reference train_asr.py:125-138, 509-513: generation overrides
+    forced_decoder_ids: Optional[Sequence[Sequence[int]]] = None
+    suppress_tokens: Optional[Sequence[int]] = None
+    # "bfloat16" = mixed precision (f32 master params, bf16 forward)
+    compute_dtype: Optional[str] = None
 
 
 class Trainer:
@@ -96,10 +111,29 @@ class Trainer:
                 every_k_schedule=self.tc.gradient_accumulation_steps,
             )
         self.state = init_train_state(params, self.optimizer)
+        spec_aug = None
+        if self.tc.apply_spec_augment:
+            from ttasr.train.spec_augment import SpecAugmentConfig
+
+            spec_aug = SpecAugmentConfig(
+                mask_time_prob=self.tc.mask_time_prob,
+                mask_time_length=self.tc.mask_time_length,
+                mask_time_min_masks=self.tc.mask_time_min_masks,
+                mask_feature_prob=self.tc.mask_feature_prob,
+                mask_feature_length=self.tc.mask_feature_length,
+                mask_feature_min_masks=self.tc.mask_feature_min_masks,
+            )
+        compute_dtype = None
+        if self.tc.compute_dtype not in (None, "float32"):
+            import jax.numpy as jnp
+
+            compute_dtype = jnp.dtype(self.tc.compute_dtype)
         self.train_step = make_train_step(
             cfg, self.optimizer, mesh=mesh,
             remat=self.tc.gradient_checkpointing,
             freeze_encoder=self.tc.freeze_encoder,
+            spec_augment_cfg=spec_aug, compute_dtype=compute_dtype,
+            seed=self.tc.seed,
         )
         self.metrics_path = os.path.join(self.tc.output_dir, "metrics.jsonl")
 
@@ -143,14 +177,17 @@ class Trainer:
 
     # -- training --------------------------------------------------------------
 
-    def train(self, train_examples: List[CorpusExample],
+    def train(self, train_examples,
               eval_examples: Optional[List[CorpusExample]] = None) -> dict:
+        """``train_examples``: a list, or a zero-arg callable yielding
+        CorpusExamples per epoch (the --streaming path)."""
         start_step = self.maybe_resume()
         it = batch_iterator(
             train_examples, self.tokenizer,
             batch_size=self.tc.per_device_train_batch_size,
             n_mels=self.cfg.num_mel_bins, seed=self.tc.seed,
             label_pad_to=self.tc.label_pad_to,
+            group_by_length=self.tc.group_by_length,
             language=self.tc.language, task=self.tc.task,
             do_lower_case=self.tc.do_lower_case,
             min_duration_s=self.tc.min_duration_in_seconds,
@@ -186,15 +223,9 @@ class Trainer:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        specs = {
-            "mel": P("data", None, None),
-            "decoder_input_ids": P("data", None),
-            "labels": P("data", None),
-        }
-        return {
-            k: jax.device_put(v, NamedSharding(self.mesh, specs[k]))
-            for k, v in batch.items()
-        }
+        # dim 0 of every leaf shards over "data"; other dims replicate
+        sharding = NamedSharding(self.mesh, P("data"))
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     # -- evaluation --------------------------------------------------------------
 
@@ -202,12 +233,27 @@ class Trainer:
         """Greedy generation + CER (predict_with_generate parity)."""
         tok = self.tokenizer
         ti = TokenizerInfo.from_tokenizer(tok, n_vocab=self.cfg.vocab_size)
+        if self.tc.suppress_tokens is not None:
+            # generation-time suppression override (reference
+            # train_asr.py:509-513 config.update suppress_tokens)
+            ti = dataclasses.replace(
+                ti, suppress=tuple(sorted(set(ti.suppress)
+                                          | set(self.tc.suppress_tokens)))
+            )
         opts = DecodingOptions(
             beam_size=1, without_timestamps=True,
             sample_len=min(self.tc.generation_max_length, 224),
         )
-        prompt_ids = tok.sot_sequence(self.tc.language, self.tc.task,
-                                      predict_timestamps=False)
+        if self.tc.forced_decoder_ids:
+            # [[idx, token], ...] forces generation positions 1..k after
+            # sot, replacing the language/task prefix (HF semantics;
+            # reference train_asr.py:125-131)
+            forced = sorted((int(i), int(t))
+                            for i, t in self.tc.forced_decoder_ids)
+            prompt_ids = [tok.sot] + [t for _, t in forced]
+        else:
+            prompt_ids = tok.sot_sequence(self.tc.language, self.tc.task,
+                                          predict_timestamps=False)
         import jax
 
         refs: List[str] = []
