@@ -153,3 +153,53 @@ def test_language_auto_detection(engine):
     )
     assert info.language in TOK.language_ids
     assert 0 < info.language_probability <= 1
+
+
+def test_best_of_selects_max_quality_candidate(engine, monkeypatch):
+    """temperature>0 with best_of=K decodes K batched samples and returns
+    the MaximumLikelihoodRanker winner (faster-whisper best_of semantics;
+    reference transcribe surface default best_of=5)."""
+    import ttasr.engine.transcriber as tr
+
+    captured = {}
+    real_greedy = tr.greedy_decode
+
+    def spy(params, cfg, enc_out, prompt, pad, rng, temperature=None, **kw):
+        out = real_greedy(params, cfg, enc_out, prompt, pad, rng,
+                          temperature, **kw)
+        captured["batch"] = int(enc_out.shape[0])
+        captured["out"] = {k: np.asarray(v) for k, v in out.items()}
+        return out
+
+    monkeypatch.setattr(tr, "greedy_decode", spy)
+
+    from ttasr.engine.transcriber import TranscribeOptions
+    from ttasr.models.whisper.model import encode
+    from ttasr.ops.mel import log_mel_spectrogram
+
+    audio = _speechy_audio(2.0)
+    mel = log_mel_spectrogram(audio, n_mels=engine.cfg.num_mel_bins)
+    enc_out = encode(engine.params, engine.cfg, mel[None])
+    prompt_ids = [engine.tokenizer.sot]
+    opts = TranscribeOptions(best_of=3, max_new_tokens=6)
+    tokens, avg_logprob, _ = engine._decode_window(
+        enc_out, prompt_ids, opts, temperature=0.7
+    )
+    assert captured["batch"] == 3  # K candidates rode the batch axis
+    out = captured["out"]
+    lengths, sums = out["lengths"], out["sum_logprob"]
+    penalties = ((5.0 + lengths + 1.0) / 6.0) ** 1.0
+    pick = int(np.argmax(sums / penalties))
+    # the argmax-quality candidate is the one returned
+    n = int(lengths[pick])
+    assert tokens == [int(t) for t in out["tokens"][pick, :n]]
+    assert avg_logprob == pytest.approx(float(sums[pick]) / (n + 1))
+
+
+def test_best_of_one_keeps_single_decode(engine):
+    segments, _ = engine.transcribe(
+        _speechy_audio(1.0), language="zh", vad_filter=False,
+        max_new_tokens=4, temperature=0.7, best_of=1,
+        condition_on_previous_text=False,
+    )
+    assert isinstance(segments, list)

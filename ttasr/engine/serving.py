@@ -9,6 +9,10 @@ program with fixed-shape slots:
 - requests (30 s windows + prompts) enter an asyncio queue,
 - a collator packs up to ``slots`` requests per step (idle slots get
   zero audio), so arbitrary concurrency rides a single compilation,
+- requests carry per-call decode options and a ladder temperature; the
+  collator groups compatible requests (same DecodingOptions) per step,
+  and the greedy program takes per-row temperatures, so windows at
+  different fallback rungs still share a batch,
 - the jitted mel+encode+decode pipeline runs in a worker thread (the
   event loop never blocks), and each request's future resolves with its
   row of the batch.
@@ -25,7 +29,7 @@ import dataclasses
 import logging
 import threading
 import time
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -48,7 +52,16 @@ class WindowRequest:
     prompt_ids: Sequence[int]
     future: "asyncio.Future"
     loop: "asyncio.AbstractEventLoop"
+    opts: DecodingOptions              # per-request decode options
+    temperature: float = 0.0           # fallback-ladder rung
+    return_enc: bool = False           # include encoder row (word align)
     submitted_at: float = dataclasses.field(default_factory=time.time)
+
+    @property
+    def group_key(self) -> Tuple:
+        """Requests with equal keys share one compiled decode call."""
+        is_beam = self.temperature == 0.0 and self.opts.beam_size > 1
+        return (self.opts, is_beam)
 
 
 @dataclasses.dataclass
@@ -57,6 +70,8 @@ class WindowResult:
     sum_logprob: float
     avg_logprob: float
     no_speech_prob: float
+    temperature: float = 0.0
+    enc: Optional[Any] = None          # (1, 1500, d) device array if requested
 
 
 async def transcribe_files(engine, paths: Sequence[str], *, slots: int = 4,
@@ -97,6 +112,7 @@ class BatchServer:
         self.opts = DecodingOptions(
             beam_size=beam_size, sample_len=sample_len,
             without_timestamps=without_timestamps,
+            kv_int8=getattr(engine, "kv_cache_int8", False),
         )
         self._queue: "asyncio.Queue[WindowRequest]" = None
         self._worker_task = None
@@ -129,10 +145,34 @@ class BatchServer:
     # -- request path --------------------------------------------------------
 
     async def transcribe_window(self, audio: np.ndarray,
-                                prompt_ids: Sequence[int]) -> WindowResult:
+                                prompt_ids: Sequence[int], *,
+                                temperature: float = 0.0,
+                                beam_size: Optional[int] = None,
+                                without_timestamps: Optional[bool] = None,
+                                sample_len: Optional[int] = None,
+                                opts: Optional[DecodingOptions] = None,
+                                return_enc: bool = False) -> WindowResult:
+        """Decode one window.  Per-request overrides (beam_size /
+        without_timestamps / sample_len, or a full ``opts``) batch with
+        other requests that share the same resolved options;
+        ``temperature`` picks the fallback rung (>0 switches from beam
+        to sampling)."""
+        if opts is None:
+            overrides = {}
+            if beam_size is not None:
+                overrides["beam_size"] = beam_size
+            if without_timestamps is not None:
+                overrides["without_timestamps"] = without_timestamps
+            if sample_len is not None:
+                overrides["sample_len"] = sample_len
+            opts = (dataclasses.replace(self.opts, **overrides)
+                    if overrides else self.opts)
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
-        await self._queue.put(WindowRequest(audio, list(prompt_ids), fut, loop))
+        await self._queue.put(WindowRequest(
+            audio, list(prompt_ids), fut, loop, opts,
+            temperature=float(temperature), return_enc=return_enc,
+        ))
         return await fut
 
     # -- batching loop ---------------------------------------------------------
@@ -151,20 +191,30 @@ class BatchServer:
                         self._queue.get(), timeout=timeout))
                 except asyncio.TimeoutError:
                     break
-            try:
-                results = await asyncio.get_running_loop().run_in_executor(
-                    None, self._decode_batch, batch
-                )
-                for req, res in zip(batch, results):
-                    if not req.future.done():
-                        req.future.set_result(res)
-            except Exception as exc:
-                logger.exception("batch decode failed")
-                for req in batch:
-                    if not req.future.done():
-                        req.future.set_exception(exc)
-            self._steps += 1
-            self._served += len(batch)
+            # group compatible requests; each group is one decode call
+            groups: List[List[WindowRequest]] = []
+            by_key = {}
+            for req in batch:
+                key = req.group_key
+                if key not in by_key:
+                    by_key[key] = []
+                    groups.append(by_key[key])
+                by_key[key].append(req)
+            for group in groups:
+                try:
+                    results = await asyncio.get_running_loop().run_in_executor(
+                        None, self._decode_batch, group
+                    )
+                    for req, res in zip(group, results):
+                        if not req.future.done():
+                            req.future.set_result(res)
+                except Exception as exc:
+                    logger.exception("batch decode failed")
+                    for req in group:
+                        if not req.future.done():
+                            req.future.set_exception(exc)
+                self._steps += 1
+                self._served += len(group)
 
     # -- device work (runs in executor thread) -------------------------------
 
@@ -172,17 +222,20 @@ class BatchServer:
         import jax
 
         engine = self.engine
+        opts, is_beam = batch[0].group_key
         n = len(batch)
         audio = np.zeros((self.slots, N_SAMPLES), np.float32)
         prompts: List[Sequence[int]] = []
+        temps = np.zeros((self.slots,), np.float32)
         for i, req in enumerate(batch):
             a = np.asarray(req.audio, np.float32)[:N_SAMPLES]
             audio[i, : len(a)] = a
             prompts.append(req.prompt_ids)
+            temps[i] = req.temperature
         # idle slots: minimal prompt, zero audio
         filler = engine.tokenizer.sot_sequence(
             "zh", "transcribe",
-            predict_timestamps=not self.opts.without_timestamps)
+            predict_timestamps=not opts.without_timestamps)
         for _ in range(n, self.slots):
             prompts.append(filler)
 
@@ -190,21 +243,26 @@ class BatchServer:
         enc_out = encode(engine.params, engine.cfg, mel)
         prompt, pad = pad_prompts(prompts, self.ti.eot)
         rng = jax.random.PRNGKey(self._steps)
-        decode = beam_decode if self.opts.beam_size > 1 else greedy_decode
-        out = decode(engine.params, engine.cfg, enc_out, prompt, pad, rng,
-                     opts=self.opts, ti=self.ti)
+        if is_beam:
+            out = beam_decode(engine.params, engine.cfg, enc_out, prompt,
+                              pad, rng, opts=opts, ti=self.ti)
+        else:
+            out = greedy_decode(engine.params, engine.cfg, enc_out, prompt,
+                                pad, rng, temps, opts=opts, ti=self.ti)
         tokens = np.asarray(out["tokens"])
         lengths = np.asarray(out["lengths"])
         sum_logprob = np.asarray(out["sum_logprob"])
         no_speech = np.asarray(out["no_speech_prob"])
 
         results = []
-        for i in range(n):
+        for i, req in enumerate(batch):
             tl = [int(t) for t in tokens[i, : lengths[i]]]
             results.append(WindowResult(
                 tokens=tl,
                 sum_logprob=float(sum_logprob[i]),
                 avg_logprob=float(sum_logprob[i]) / (len(tl) + 1),
                 no_speech_prob=float(no_speech[i]),
+                temperature=req.temperature,
+                enc=enc_out[i : i + 1] if req.return_enc else None,
             ))
         return results

@@ -140,17 +140,61 @@ class WhisperEngine:
         if temperature == 0.0 and opts.beam_size > 1:
             out = beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
                               opts=dec_opts, ti=self.ti)
+            pick = 0
+        elif temperature > 0.0 and opts.best_of > 1:
+            # best_of candidates as ONE batched decode (faster-whisper
+            # num_hypotheses=best_of at temperature>0): K independent
+            # samples ride the batch axis of a single compiled program,
+            # then MaximumLikelihoodRanker picks the winner on host.
+            import jax.numpy as jnp
+
+            k = opts.best_of
+            enc_rep = jnp.broadcast_to(
+                enc_out, (k,) + tuple(enc_out.shape[1:])
+            )
+            prompt_k = np.repeat(np.asarray(prompt), k, axis=0)
+            pad_k = np.repeat(np.asarray(pad), k, axis=0)
+            out = greedy_decode(self.params, self.cfg, enc_rep, prompt_k,
+                                pad_k, rng, temperature, opts=dec_opts,
+                                ti=self.ti)
+            lengths = np.asarray(out["lengths"])
+            sums = np.asarray(out["sum_logprob"])
+            # GoogleNMT length penalty, openai MaximumLikelihoodRanker
+            penalties = ((5.0 + lengths + 1.0) / 6.0) ** opts.length_penalty
+            pick = int(np.argmax(sums / np.maximum(penalties, 1e-9)))
         else:
             # temperature is traced: the whole fallback ladder shares one
             # compiled greedy program
             out = greedy_decode(self.params, self.cfg, enc_out, prompt, pad,
                                 rng, temperature, opts=dec_opts, ti=self.ti)
-        n = int(out["lengths"][0])
-        tokens = [int(t) for t in np.asarray(out["tokens"])[0, :n]]
-        sum_logprob = float(out["sum_logprob"][0])
+            pick = 0
+        n = int(out["lengths"][pick])
+        tokens = [int(t) for t in np.asarray(out["tokens"])[pick, :n]]
+        sum_logprob = float(out["sum_logprob"][pick])
         avg_logprob = sum_logprob / (n + 1) if n >= 0 else 0.0
-        no_speech_prob = float(out["no_speech_prob"][0])
+        no_speech_prob = float(out["no_speech_prob"][pick])
         return tokens, avg_logprob, no_speech_prob
+
+    @staticmethod
+    def _needs_fallback(ratio: float, avg_logprob: float,
+                        no_speech_prob: float,
+                        opts: TranscribeOptions) -> bool:
+        """Quality gates of faster-whisper generate_with_fallback —
+        shared verbatim by the sequential and continuous-batching paths
+        so both ladder identically."""
+        needs_fallback = False
+        if (opts.compression_ratio_threshold is not None
+                and ratio > opts.compression_ratio_threshold):
+            needs_fallback = True
+        if (opts.log_prob_threshold is not None
+                and avg_logprob < opts.log_prob_threshold):
+            needs_fallback = True
+        if (opts.no_speech_threshold is not None
+                and no_speech_prob > opts.no_speech_threshold
+                and opts.log_prob_threshold is not None
+                and avg_logprob < opts.log_prob_threshold):
+            needs_fallback = False  # silence: don't ladder up
+        return needs_fallback
 
     def _decode_with_fallback(self, enc_out, prompt_ids, opts: TranscribeOptions):
         """Temperature ladder (faster-whisper generate_with_fallback)."""
@@ -162,19 +206,8 @@ class WhisperEngine:
             text = self.tokenizer.decode(tokens)
             ratio = compression_ratio(text)
             last = (tokens, avg_logprob, no_speech_prob, ratio, temperature)
-            needs_fallback = False
-            if (opts.compression_ratio_threshold is not None
-                    and ratio > opts.compression_ratio_threshold):
-                needs_fallback = True
-            if (opts.log_prob_threshold is not None
-                    and avg_logprob < opts.log_prob_threshold):
-                needs_fallback = True
-            if (opts.no_speech_threshold is not None
-                    and no_speech_prob > opts.no_speech_threshold
-                    and opts.log_prob_threshold is not None
-                    and avg_logprob < opts.log_prob_threshold):
-                needs_fallback = False  # silence: don't ladder up
-            if not needs_fallback:
+            if not self._needs_fallback(ratio, avg_logprob, no_speech_prob,
+                                        opts):
                 break
         return last
 
@@ -273,6 +306,59 @@ class WhisperEngine:
 
     # -- continuous-batching path ---------------------------------------------
 
+    async def _decode_with_fallback_server(self, server, window, prompt_ids,
+                                           opts: TranscribeOptions,
+                                           return_enc: bool):
+        """Async mirror of :meth:`_decode_with_fallback` routed through a
+        :class:`ttasr.engine.serving.BatchServer` — identical temperature
+        ladder, quality gates, and best_of candidate selection, with each
+        window decode packed into the server's shared slots."""
+        import asyncio
+
+        kv_int8 = opts.kv_cache_int8
+        if kv_int8 is None:
+            kv_int8 = self.kv_cache_int8
+        dec_opts = DecodingOptions(
+            beam_size=opts.beam_size,
+            length_penalty=opts.length_penalty,
+            patience=opts.patience,
+            without_timestamps=opts.without_timestamps,
+            max_initial_timestamp=opts.max_initial_timestamp,
+            sample_len=min(opts.max_new_tokens, SAMPLE_LEN),
+            kv_int8=kv_int8,
+        )
+        last = None
+        for temperature in opts.temperatures:
+            if temperature > 0.0 and opts.best_of > 1:
+                # best_of candidates as K parallel window requests: they
+                # pack into the server's slots (often the same batch)
+                results = await asyncio.gather(*[
+                    server.transcribe_window(
+                        window, prompt_ids, temperature=temperature,
+                        opts=dec_opts, return_enc=return_enc,
+                    )
+                    for _ in range(opts.best_of)
+                ])
+                lengths = np.asarray([len(r.tokens) for r in results])
+                sums = np.asarray([r.sum_logprob for r in results])
+                penalties = (
+                    (5.0 + lengths + 1.0) / 6.0
+                ) ** opts.length_penalty
+                result = results[int(np.argmax(
+                    sums / np.maximum(penalties, 1e-9)))]
+            else:
+                result = await server.transcribe_window(
+                    window, prompt_ids, temperature=temperature,
+                    opts=dec_opts, return_enc=return_enc,
+                )
+            text = self.tokenizer.decode(result.tokens)
+            ratio = compression_ratio(text)
+            last = (result, ratio, temperature)
+            if not self._needs_fallback(ratio, result.avg_logprob,
+                                        result.no_speech_prob, opts):
+                break
+        return last
+
     async def transcribe_with_server(self, audio: Union[str, np.ndarray],
                                      server, **kwargs
                                      ) -> Tuple[List[Segment], TranscriptionInfo]:
@@ -281,16 +367,25 @@ class WhisperEngine:
         concurrent files pack into shared fixed decode slots ("continuous
         batching of 30 s windows", BASELINE.json north star).
 
-        Prompt carry (``condition_on_previous_text``) stays sequential
-        within a file; parallelism comes from running many files at once
-        (see :func:`ttasr.engine.serving.transcribe_files`).  The
-        temperature-fallback ladder and word timestamps are not applied
-        on this path (the server decodes at fixed options).
+        Decode-equivalent to :meth:`transcribe`: the same temperature
+        fallback ladder (with best_of sampling), no-speech gating,
+        ``prompt_reset_on_temperature``, and word-timestamp alignment run
+        per window; only the batching transport differs.  Prompt carry
+        (``condition_on_previous_text``) stays sequential within a file;
+        parallelism comes from running many files at once (see
+        :func:`ttasr.engine.serving.transcribe_files`).
         """
         known = {f.name for f in dataclasses.fields(TranscribeOptions)}
-        opts = TranscribeOptions(
-            **{k: v for k, v in kwargs.items() if k in known}
-        )
+        fw_aliases = {"temperature": "temperatures"}
+        clean_kwargs = {}
+        for k, v in kwargs.items():
+            k = fw_aliases.get(k, k)
+            if k in known:
+                clean_kwargs[k] = v
+        opts = TranscribeOptions(**clean_kwargs)
+        if isinstance(opts.temperatures, (int, float)):
+            opts = dataclasses.replace(
+                opts, temperatures=(float(opts.temperatures),))
         if isinstance(audio, (str, bytes)):
             audio, _ = load_audio(audio, sr=SAMPLE_RATE)
         audio = np.asarray(audio, dtype=np.float32)
@@ -318,6 +413,7 @@ class WhisperEngine:
         content_frames = max(len(audio) // HOP_LENGTH, 1)
         seek = 0
         all_tokens: List[int] = []
+        prompt_reset_since = 0
         initial_prompt_tokens: List[int] = []
         if opts.initial_prompt:
             initial_prompt_tokens = tok.encode(" " + opts.initial_prompt.strip())
@@ -331,37 +427,65 @@ class WhisperEngine:
             segment_frames = min(N_FRAMES, content_frames - seek)
             segment_duration = segment_frames * HOP_LENGTH / SAMPLE_RATE
 
-            previous = all_tokens if opts.condition_on_previous_text else []
+            previous = (all_tokens[prompt_reset_since:]
+                        if opts.condition_on_previous_text else [])
             prompt_ids = build_prompt(
                 tok, language=opts.language or "zh", task=opts.task,
                 without_timestamps=opts.without_timestamps,
+                prefix_tokens=(tok.encode(" " + opts.prefix.strip())
+                               if opts.prefix else ()),
                 previous_tokens=previous,
                 initial_prompt_tokens=() if previous else initial_prompt_tokens,
             )
-            result = await server.transcribe_window(window, prompt_ids)
+            result, ratio, temperature = await self._decode_with_fallback_server(
+                server, window, prompt_ids, opts,
+                return_enc=opts.word_timestamps,
+            )
             tokens = result.tokens
+            avg_logprob = result.avg_logprob
+            no_speech_prob = result.no_speech_prob
+
             if (opts.no_speech_threshold is not None
-                    and result.no_speech_prob > opts.no_speech_threshold
-                    and (opts.log_prob_threshold is None
-                         or result.avg_logprob <= opts.log_prob_threshold)):
-                seek += segment_frames
-                continue
+                    and no_speech_prob > opts.no_speech_threshold):
+                should_skip = True
+                if (opts.log_prob_threshold is not None
+                        and avg_logprob > opts.log_prob_threshold):
+                    should_skip = False  # confident despite no_speech
+                if should_skip:
+                    seek += segment_frames
+                    continue
 
             new_segments, seek_advance = self._parse_window_tokens(
                 tokens, time_offset, segment_duration, segment_frames
             )
+            window_words = None
+            if opts.word_timestamps and any(s[0] for s in new_segments):
+                window_words = self._align_window_words(
+                    [t for s in new_segments for t in s[0]], result.enc,
+                    time_offset,
+                )
             for s_tokens, s_start, s_end in new_segments:
                 text = tok.decode(s_tokens)
                 if not text.strip():
                     continue
+                seg_words = None
+                if window_words is not None:
+                    seg_words = [
+                        w for w in window_words
+                        if s_start - 0.01 <= (w.start + w.end) / 2 <= s_end + 0.5
+                    ]
                 segments.append(Segment(
                     id=seg_id, seek=seek, start=s_start, end=s_end, text=text,
-                    tokens=s_tokens, avg_logprob=result.avg_logprob,
-                    compression_ratio=compression_ratio(text),
-                    no_speech_prob=result.no_speech_prob,
+                    tokens=s_tokens, avg_logprob=avg_logprob,
+                    compression_ratio=ratio, no_speech_prob=no_speech_prob,
+                    temperature=temperature, words=seg_words,
                 ))
                 seg_id += 1
                 all_tokens.extend(s_tokens)
+
+            if temperature > opts.prompt_reset_on_temperature:
+                prompt_reset_since = len(all_tokens)
+
             seek += seek_advance
 
         if speech_chunks is not None and segments:
@@ -370,6 +494,7 @@ class WhisperEngine:
                 seg.start = ts_map.get_original_time(seg.start)
                 seg.end = ts_map.get_original_time(seg.end)
         return segments, info
+
 
     # -- seek loop ------------------------------------------------------------
 

@@ -431,17 +431,21 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
       prompt: (B, MAX_PROMPT) left-padded prompt (pad value irrelevant).
       pad_len: (B,) number of pad slots.
       rng: PRNG key (used when sampling).
-      temperature: traced scalar; defaults to ``opts.temperature``.  Being
-        traced, the whole temperature-fallback ladder reuses ONE compile.
+      temperature: traced scalar OR (B,) per-row vector; defaults to
+        ``opts.temperature``.  Being traced, the whole temperature-fallback
+        ladder reuses ONE compile — and per-row temperatures let a
+        continuous-batching server pack requests at different ladder
+        rungs into one step.
 
     Returns dict with tokens (B, sample_len), lengths, sum_logprob,
     no_speech_prob.
     """
+    b = enc_out.shape[0]
     if temperature is None:
         temperature = jnp.asarray(opts.temperature, jnp.float32)
     else:
         temperature = jnp.asarray(temperature, jnp.float32)
-    b = enc_out.shape[0]
+    temperature = jnp.broadcast_to(temperature, (b,))
     max_prompt = prompt.shape[1]
     buckets = _growth_buckets(max_prompt, opts.sample_len)
     cache = init_cache(params, cfg, enc_out,
@@ -492,7 +496,7 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         new_rng, sub = jax.random.split(s["rng"])
         greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         sampled_tok = jax.random.categorical(
-            sub, logits / jnp.maximum(temperature, 1e-6), axis=-1
+            sub, logits / jnp.maximum(temperature, 1e-6)[:, None], axis=-1
         ).astype(jnp.int32)
         next_tok = jnp.where(temperature > 0.0, sampled_tok, greedy_tok)
         tok_logprob = jnp.take_along_axis(
