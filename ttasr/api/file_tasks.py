@@ -224,50 +224,69 @@ async def health_check(_request: web.Request) -> web.Response:
     })
 
 
+UPLOAD_CHUNK_BYTES = 64 * 1024
+
+
 async def create_subtitle_task(request: web.Request) -> web.Response:
-    """POST /api/v1/subtitle/tasks (reference file_asr.py:373-565)."""
+    """POST /api/v1/subtitle/tasks (reference file_asr.py:373-565).
+
+    The audio part streams to disk in fixed-size chunks — constant
+    memory for arbitrarily large uploads, matching the reference's
+    stream-to-disk behavior (a 2 h WAV never lands in RSS).
+    """
     require_token_payload(request)
     reader = await request.multipart()
     filename = None
-    file_bytes = b""
     reference_text = None
+    temp_file_path = None
+    task_dir = None
+    task_id = None
     async for part in reader:
-        if part.name == "audio":
+        if part.name == "audio" and temp_file_path is None:
             filename = part.filename or ""
-            file_bytes = await part.read(decode=False)
+            _, ext = os.path.splitext(filename)
+            if ext.lower() not in ALLOWED_EXTENSIONS:
+                return web.json_response(
+                    {"error": "不支援的檔案格式。支援的格式: "
+                              + ", ".join(sorted(ALLOWED_EXTENSIONS))},
+                    status=400,
+                )
+            tasks_root = os.path.join(BASE_DIR, "audio_files", "tasks")
+            os.makedirs(tasks_root, exist_ok=True)
+            task_dir = os.path.join(tasks_root, str(uuid.uuid4()))
+            os.makedirs(task_dir, exist_ok=True)
+            temp_file_path = os.path.join(task_dir, f"input{ext}")
+            with _tasks_conn() as conn:
+                cur = conn.execute(
+                    "INSERT INTO subtitle_tasks (status, progress,"
+                    " input_filename, temp_path, created_at, updated_at)"
+                    " VALUES (?, ?, ?, ?, ?, ?)",
+                    (STATUS_UPLOAD_IN_PROGRESS, 0, filename, temp_file_path,
+                     _now_iso(), _now_iso()),
+                )
+                task_id = cur.lastrowid
+                conn.commit()
+            try:
+                with open(temp_file_path, "wb") as out:
+                    while True:
+                        chunk = await part.read_chunk(UPLOAD_CHUNK_BYTES)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+            except Exception as exc:
+                _update_task(task_id, status=STATUS_FAILED,
+                             error=f"upload failed: {exc}")
+                return web.json_response(
+                    {"error": f"檔案儲存失敗: {exc}"}, status=500)
         elif part.name == "reference_text":
             reference_text = (await part.text()) or None
 
-    _, ext = os.path.splitext(filename or "")
-    if ext.lower() not in ALLOWED_EXTENSIONS:
+    if temp_file_path is None:
         return web.json_response(
             {"error": "不支援的檔案格式。支援的格式: "
                       + ", ".join(sorted(ALLOWED_EXTENSIONS))},
             status=400,
         )
-
-    tasks_root = os.path.join(BASE_DIR, "audio_files", "tasks")
-    os.makedirs(tasks_root, exist_ok=True)
-    task_dir = os.path.join(tasks_root, str(uuid.uuid4()))
-    os.makedirs(task_dir, exist_ok=True)
-    temp_file_path = os.path.join(task_dir, f"input{ext}")
-
-    with _tasks_conn() as conn:
-        cur = conn.execute(
-            "INSERT INTO subtitle_tasks (status, progress, input_filename,"
-            " temp_path, created_at, updated_at) VALUES (?, ?, ?, ?, ?, ?)",
-            (STATUS_UPLOAD_IN_PROGRESS, 0, filename or "", temp_file_path,
-             _now_iso(), _now_iso()),
-        )
-        task_id = cur.lastrowid
-        conn.commit()
-
-    try:
-        with open(temp_file_path, "wb") as out:
-            out.write(file_bytes)
-    except Exception as exc:
-        _update_task(task_id, status=STATUS_FAILED, error=f"upload failed: {exc}")
-        return web.json_response({"error": f"檔案儲存失敗: {exc}"}, status=500)
 
     _update_task(task_id, status=STATUS_AUDIO_WAITING, progress=0)
     asyncio.get_running_loop().create_task(
