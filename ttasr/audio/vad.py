@@ -5,10 +5,12 @@ Replaces the Silero-ONNX VAD embedded in faster-whisper (enabled by
 faster_whisper_asr.py:144).  The segmentation state machine —
 ``VadOptions``, ``get_speech_timestamps``, ``collect_chunks``,
 ``SpeechTimestampsMap`` — keeps faster-whisper's exact semantics so the
-engine's timestamp restoration math is identical; the per-frame speech
-probability comes from a jit-compiled adaptive energy/spectral-flatness
-model rather than the Silero network (whose weights are unavailable and
-unnecessary for parity of the surrounding machinery).
+engine's timestamp restoration math is identical.  The per-frame speech
+probability comes from an in-repo learned conv VAD
+(``ttasr.audio.vad_model``: harmonic/formant/syllabic-modulation
+features, trained by tools/train_vad.py; Silero's own weights are
+unavailable under zero egress), with a jit-compiled adaptive energy
+model as fallback when the vendored weights are absent.
 """
 
 from __future__ import annotations
@@ -63,10 +65,31 @@ def _prob_fn():
 
 
 def speech_probabilities(audio: np.ndarray) -> np.ndarray:
-    """Per-512-sample-frame speech probability in [0, 1]."""
+    """Per-512-sample-frame speech probability in [0, 1].
+
+    Uses the learned conv VAD (``ttasr.audio.vad_model``, trained by
+    tools/train_vad.py on a synthesized speech/noise corpus) when its
+    vendored weights are present; falls back to the adaptive energy
+    heuristic otherwise.  Disable the model with TTASR_VAD_HEURISTIC=1.
+    """
     if len(audio) < WINDOW:
         return np.zeros((0,), np.float32)
-    return np.asarray(_prob_fn()(np.asarray(audio, np.float32)))
+    import os
+
+    energy = np.asarray(_prob_fn()(np.asarray(audio, np.float32)))
+    if os.environ.get("TTASR_VAD_HEURISTIC") != "1":
+        from ttasr.audio.vad_model import vad_probabilities
+
+        probs = vad_probabilities(audio)
+        if probs is not None:
+            # product of experts: the conv net supplies spectral evidence
+            # (harmonics/formants/syllabic modulation), the adaptive energy
+            # score supplies dynamics evidence.  Stationary signals the net
+            # is unsure about (chords, hum, noise) have flat energy and die
+            # here, while speech is high on both.
+            n = min(len(probs), len(energy))
+            return np.sqrt(probs[:n] * energy[:n])
+    return energy
 
 
 def get_speech_timestamps(audio: np.ndarray,
