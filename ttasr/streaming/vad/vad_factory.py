@@ -1,5 +1,12 @@
-"""VAD factory (reference vad/vad_factory.py:13-44, extended with the
-"energy" type that the TPU build actually gates on)."""
+"""VAD factory (reference vad/vad_factory.py:13-44).
+
+Extends the reference's factory (which only knew "simple"; its
+PyannoteVAD plugin existed but was unreachable) with the neural types:
+"energy"/"learned"/"pyannote" all resolve to :class:`EnergyVAD`, whose
+frame probabilities come from the in-repo learned conv VAD
+(ttasr.audio.vad_model) — the same neural-segmentation role the
+reference intended pyannote to fill.
+"""
 
 import logging
 
@@ -15,6 +22,13 @@ class VADFactory:
         logger.info("creating VAD pipeline: %s %s", type, kwargs)
         if type == "simple":
             return SimpleVAD(**kwargs)
-        if type == "energy":
+        if type in ("energy", "learned", "pyannote"):
+            # pyannote-role plugin: learned neural segmentation
+            # (auth_token accepted and ignored for drop-in compatibility
+            # with the reference's PyannoteVAD signature)
+            kwargs.pop("auth_token", None)
             return EnergyVAD(**kwargs)
-        raise ValueError(f"不支援的 VAD 管道類型: {type}。支援 'simple'、'energy'")
+        raise ValueError(
+            f"不支援的 VAD 管道類型: {type}。支援 'simple'、'energy'、"
+            "'learned'（別名 'pyannote'）"
+        )
