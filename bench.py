@@ -50,9 +50,9 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
     cfg = get_config(model_name)
     params = init_params(cfg, seed=0, dtype=dtype)
     if compute == "int8":
-        from ttasr.ops.quant import quantize_params
+        from ttasr.ops.quant import fuse_qkv, quantize_params
 
-        params = quantize_params(params)
+        params = fuse_qkv(quantize_params(params))
     tok = build_byte_fallback_tokenizer()
 
     # Force full-length decode: report throughput at a fixed token budget.

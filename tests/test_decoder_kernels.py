@@ -1,0 +1,173 @@
+"""Fused decoder Pallas kernels — correctness vs the XLA reference
+(interpret mode on CPU; the real win is measured on TPU, PERF_NOTES.md)."""
+
+import numpy as np
+import pytest
+
+from ttasr.ops.quant import quantize_tensor
+
+
+def _ref_mlp(x, ln_s, ln_b, w1, b1, w2, b2):
+    from scipy.special import erf
+
+    x32 = x.astype(np.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    ln = (x32 - mu) / np.sqrt(var + 1e-5) * ln_s + ln_b
+    h = ln @ w1 + b1
+    h = 0.5 * h * (1 + erf(h / np.sqrt(2)))
+    return x32 + h @ w2 + b2
+
+
+@pytest.mark.parametrize("shape", [(16, 256, 1024), (8, 128, 512)])
+def test_mlp_int8_fused_matches_reference(shape):
+    import jax.numpy as jnp
+
+    from ttasr.ops.decoder_mlp_pallas import mlp_int8_fused
+
+    r, d, f = shape
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((r, d)) * 0.3).astype(np.float32)
+    ln_s = (rng.standard_normal(d) * 0.1 + 1).astype(np.float32)
+    ln_b = (rng.standard_normal(d) * 0.1).astype(np.float32)
+    w1 = (rng.standard_normal((d, f)) * 0.05).astype(np.float32)
+    w2 = (rng.standard_normal((f, d)) * 0.05).astype(np.float32)
+    b1 = (rng.standard_normal(f) * 0.02).astype(np.float32)
+    b2 = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    q1, q2 = quantize_tensor(w1), quantize_tensor(w2)
+
+    got = np.asarray(mlp_int8_fused(
+        jnp.asarray(x), ln_s, ln_b, q1["q"], q1["s"], b1,
+        q2["q"], q2["s"], b2, interpret=True,
+    ))
+    w1d = q1["q"].astype(np.float32) * q1["s"]
+    w2d = q2["q"].astype(np.float32) * q2["s"]
+    want = _ref_mlp(x, ln_s, ln_b, w1d, b1, w2d, b2)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 5e-2, rel  # bf16 compute tolerance
+
+
+def test_qkv_and_attnout_kernels_match_reference():
+    import jax.numpy as jnp
+
+    from ttasr.ops.decoder_blocks_pallas import attnout_ln_q_fused, qkv_int8_fused
+
+    rng = np.random.default_rng(1)
+    r, d = 16, 256
+    x = (rng.standard_normal((r, d)) * 0.3).astype(np.float32)
+    attn = (rng.standard_normal((r, d)) * 0.3).astype(np.float32)
+    ln_s = (rng.standard_normal(d) * 0.1 + 1).astype(np.float32)
+    ln_b = (rng.standard_normal(d) * 0.1).astype(np.float32)
+    wqkv = (rng.standard_normal((d, 3 * d)) * 0.05).astype(np.float32)
+    bqkv = (rng.standard_normal(3 * d) * 0.02).astype(np.float32)
+    qq = quantize_tensor(wqkv)
+
+    got = np.asarray(qkv_int8_fused(jnp.asarray(x), ln_s, ln_b,
+                                    qq["q"], qq["s"], bqkv, interpret=True))
+    x32 = x.astype(np.float32)
+    mu = x32.mean(-1, keepdims=True); var = x32.var(-1, keepdims=True)
+    ln = (x32 - mu) / np.sqrt(var + 1e-5) * ln_s + ln_b
+    want = ln @ (qq["q"].astype(np.float32) * qq["s"]) + bqkv
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 5e-2, rel
+
+    wo = (rng.standard_normal((d, d)) * 0.05).astype(np.float32)
+    bo = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    wqc = (rng.standard_normal((d, d)) * 0.05).astype(np.float32)
+    bqc = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    qo, qc_ = quantize_tensor(wo), quantize_tensor(wqc)
+    xo, qc = attnout_ln_q_fused(
+        jnp.asarray(x), jnp.asarray(attn), qo["q"], qo["s"], bo,
+        ln_s, ln_b, qc_["q"], qc_["s"], bqc, interpret=True,
+    )
+    xo, qc = np.asarray(xo), np.asarray(qc)
+    want_xo = x32 + attn @ (qo["q"].astype(np.float32) * qo["s"]) + bo
+    mu = want_xo.mean(-1, keepdims=True); var = want_xo.var(-1, keepdims=True)
+    lnx = (want_xo - mu) / np.sqrt(var + 1e-5) * ln_s + ln_b
+    want_qc = lnx @ (qc_["q"].astype(np.float32) * qc_["s"]) + bqc
+    assert np.abs(xo - want_xo).max() / np.abs(want_xo).max() < 5e-2
+    assert np.abs(qc - want_qc).max() / np.abs(want_qc).max() < 5e-2
+
+
+def test_mlp_with_crossout_matches_composition():
+    import jax.numpy as jnp
+
+    from ttasr.ops.decoder_mlp_pallas import mlp_int8_fused, mlp_with_crossout_int8
+
+    rng = np.random.default_rng(2)
+    r, d, f = 16, 256, 1024
+    x = (rng.standard_normal((r, d)) * 0.3).astype(np.float32)
+    cross = (rng.standard_normal((r, d)) * 0.3).astype(np.float32)
+    woc = quantize_tensor((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    boc = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    ln_s = (rng.standard_normal(d) * 0.1 + 1).astype(np.float32)
+    ln_b = (rng.standard_normal(d) * 0.1).astype(np.float32)
+    q1 = quantize_tensor((rng.standard_normal((d, f)) * 0.05).astype(np.float32))
+    q2 = quantize_tensor((rng.standard_normal((f, d)) * 0.05).astype(np.float32))
+    b1 = (rng.standard_normal(f) * 0.02).astype(np.float32)
+    b2 = (rng.standard_normal(d) * 0.02).astype(np.float32)
+
+    got = np.asarray(mlp_with_crossout_int8(
+        jnp.asarray(x), jnp.asarray(cross), woc["q"], woc["s"], boc,
+        ln_s, ln_b, q1["q"], q1["s"], b1, q2["q"], q2["s"], b2,
+        interpret=True,
+    ))
+    xn = x + cross @ (woc["q"].astype(np.float32) * woc["s"]) + boc
+    want = np.asarray(mlp_int8_fused(
+        jnp.asarray(xn.astype(np.float32)), ln_s, ln_b,
+        q1["q"], q1["s"], b1, q2["q"], q2["s"], b2, interpret=True,
+    ))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+
+
+def test_fused_decode_path_matches_unfused_int8():
+    """greedy_decode through the fused Pallas layer kernels (interpret on
+    CPU) emits the same tokens as the unfused int8 XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.decode import (
+        DecodingOptions,
+        TokenizerInfo,
+        greedy_decode,
+        pad_prompts,
+    )
+    from ttasr.models.whisper.model import encode, init_params
+    from ttasr.ops.quant import fuse_qkv, quantize_params
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = WhisperConfig(
+        name="micro", vocab_size=tok.vocab_size, num_mel_bins=80,
+        d_model=64, encoder_layers=2, encoder_heads=4,
+        decoder_layers=2, decoder_heads=4, ffn_dim=256,
+    )
+    params = init_params(cfg, seed=0)
+    qparams = quantize_params(params)
+    fparams = fuse_qkv(qparams)
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 48000)).astype(np.float32) * 0.1
+    from ttasr.ops.mel import log_mel_spectrogram
+
+    mel = log_mel_spectrogram(audio, n_mels=80)
+    ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    opts = DecodingOptions(beam_size=1, sample_len=12, kv_int8=True)
+    prompt, pad = pad_prompts(
+        [tok.sot_sequence("zh", predict_timestamps=True)] * 2, tok.eot)
+    key = jax.random.PRNGKey(0)
+
+    enc_q = encode(qparams, cfg, mel)
+    out_ref = greedy_decode(qparams, cfg, enc_q, prompt, pad, key,
+                            opts=opts, ti=ti)
+    enc_f = encode(fparams, cfg, mel)
+    out_fused = greedy_decode(fparams, cfg, enc_f, prompt, pad, key,
+                              opts=opts, ti=ti)
+    ref_tok = np.asarray(out_ref["tokens"])
+    fus_tok = np.asarray(out_fused["tokens"])
+    lengths = np.asarray(out_ref["lengths"])
+    for b in range(2):
+        n = int(lengths[b])
+        assert list(ref_tok[b, :n]) == list(fus_tok[b, :n]), b

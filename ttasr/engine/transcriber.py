@@ -105,9 +105,9 @@ class WhisperEngine:
         # int8 compute: quantized HBM-resident weights + int8 self-KV cache
         self.kv_cache_int8 = compute_type == "int8"
         if compute_type == "int8":
-            from ttasr.ops.quant import quantize_params
+            from ttasr.ops.quant import fuse_qkv, quantize_params
 
-            self.params = quantize_params(self.params)
+            self.params = fuse_qkv(quantize_params(self.params))
         self.tokenizer = tokenizer or load_tokenizer(
             model_path_or_name if isinstance(model_path_or_name, str) else None
         )

@@ -109,6 +109,20 @@ class TokenizerInfo:
 # Prefill with left-padded prompt
 # ---------------------------------------------------------------------------
 
+def _qkv_proj(h, blk, cfg: WhisperConfig):
+    """Self-attn q/k/v projections; consumes the fused ``wqkv`` layout
+    (ttasr.ops.quant.fuse_qkv) when present."""
+    if "wqkv" in blk:
+        qkv = _proj(h, blk["wqkv"], blk["bqkv"])
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = _proj(h, blk["wq"], blk["bq"])
+        k_new = _proj(h, blk["wk"])
+        v_new = _proj(h, blk["wv"], blk["bv"])
+    split = lambda t: _split_heads(t, cfg.decoder_heads)  # noqa: E731
+    return split(q), split(k_new), split(v_new)
+
+
 def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
     """Teacher-forced pass over the fixed-size prompt buffer.
 
@@ -142,9 +156,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
         else:
             blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
-        q = _split_heads(_proj(h, blk["wq"], blk["bq"]), cfg.decoder_heads)
-        k_new = _split_heads(_proj(h, blk["wk"]), cfg.decoder_heads)
-        v_new = _split_heads(_proj(h, blk["wv"], blk["bv"]), cfg.decoder_heads)
+        q, k_new, v_new = _qkv_proj(h, blk, cfg)
         if quantized:
             k8, k_scale = quantize_kv(k_new)
             v8, v_scale = quantize_kv(v_new)
@@ -212,6 +224,71 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
     quantized = cache.quantized
     cross_quantized = cache.cross_quantized
 
+    # Fused Pallas decode path: active when the weights carry the fused
+    # int8 layout (engine compute_type="int8" + fuse_qkv).  Every weight
+    # matmul of the layer runs inside three kernels that stream int8
+    # weights and convert in VMEM (XLA hoists the convert otherwise —
+    # PERF_NOTES.md), collapsing ~40 XLA ops/layer of dispatch.
+    dec_blocks = dec["blocks"]
+    fused_kernels = "wqkv" in dec_blocks and quantized
+
+    def scan_block_fused(x, scanned):
+        import jax as _jax
+
+        from ttasr.ops.decoder_blocks_pallas import (
+            attnout_ln_q_fused,
+            qkv_int8_fused,
+        )
+        from ttasr.ops.decoder_mlp_pallas import mlp_with_crossout_int8
+
+        if cross_quantized:
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv, cks, cvs = scanned
+        else:
+            blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv = scanned
+        interp = _jax.default_backend() == "cpu"
+        x2 = x[:, 0].astype(jnp.float32)  # (B, D)
+        qkv = qkv_int8_fused(
+            x2, blk["ln1_s"], blk["ln1_b"],
+            blk["wqkv"]["q"], blk["wqkv"]["s"], blk["bqkv"],
+            interpret=interp,
+        )
+        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        split = lambda t: _split_heads(t[:, None, :], cfg.decoder_heads)  # noqa: E731
+        q, k_new, v_new = split(q), split(k_new), split(v_new)
+        k8, k_scale = quantize_kv(k_new)
+        v8, v_scale = quantize_kv(v_new)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k8, slot, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v8, slot, axis=1)
+        ks_cache = jax.lax.dynamic_update_slice_in_dim(
+            ks_cache, k_scale, slot, axis=1)
+        vs_cache = jax.lax.dynamic_update_slice_in_dim(
+            vs_cache, v_scale, slot, axis=1)
+        attn = _quant_self_attention(q, k_cache, ks_cache, v_cache,
+                                     vs_cache, mask)
+        xo, qc = attnout_ln_q_fused(
+            x2, _merge_heads(attn)[:, 0].astype(jnp.float32),
+            blk["wo"]["q"], blk["wo"]["s"], blk["bo"],
+            blk["lnc_s"], blk["lnc_b"],
+            blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
+            interpret=interp,
+        )
+        qc = _split_heads(qc[:, None, :].astype(x.dtype), cfg.decoder_heads)
+        if cross_quantized:
+            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
+                                          cfg.max_source_positions)
+        else:
+            cross = _cross_attention(qc, ck, cv)
+        x_new = mlp_with_crossout_int8(
+            xo, _merge_heads(cross)[:, 0].astype(jnp.float32),
+            blk["wo_c"]["q"], blk["wo_c"]["s"], blk["bo_c"],
+            blk["ln2_s"], blk["ln2_b"],
+            blk["w1"]["q"], blk["w1"]["s"], blk["b1"],
+            blk["w2"]["q"], blk["w2"]["s"], blk["b2"],
+            interpret=interp,
+        )
+        return x_new[:, None, :].astype(x.dtype), (
+            k_cache, v_cache, ks_cache, vs_cache)
+
     def scan_block(x, scanned):
         if quantized and cross_quantized:
             blk, k_cache, v_cache, ks_cache, vs_cache, ck, cv, cks, cvs = scanned
@@ -222,9 +299,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         else:
             blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
-        q = _split_heads(_proj(h, blk["wq"], blk["bq"]), cfg.decoder_heads)
-        k_new = _split_heads(_proj(h, blk["wk"]), cfg.decoder_heads)
-        v_new = _split_heads(_proj(h, blk["wv"], blk["bv"]), cfg.decoder_heads)
+        q, k_new, v_new = _qkv_proj(h, blk, cfg)
         if quantized:
             k8, k_scale = quantize_kv(k_new)
             v8, v_scale = quantize_kv(v_new)
@@ -253,6 +328,9 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
         if quantized:
             return x, (k_cache, v_cache, ks_cache, vs_cache)
         return x, (k_cache, v_cache)
+
+    if fused_kernels:
+        scan_block = scan_block_fused
 
     operands = [dec["blocks"], cache.k, cache.v]
     if quantized:

@@ -72,6 +72,36 @@ def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return walk(params, {})
 
 
+def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Concatenate the decoder self-attn q/k/v projections into one
+    ``wqkv`` leaf (int8 (L, D, 3D) + scales) + ``bqkv`` bias.
+
+    Per-output-channel quantization concatenates exactly (each output
+    column keeps its own scale), so one (D, 3D) matmul replaces three —
+    the layout the fused Pallas decode kernels consume.  The separate
+    wq/wk/wv leaves are removed (the incremental paths read wqkv).
+    Whisper's k projection has no bias; its slot in bqkv is zero.
+    """
+    dec = dict(params["decoder"])
+    blocks = dict(dec["blocks"])
+    wq, wk, wv = blocks["wq"], blocks["wk"], blocks["wv"]
+    if not (is_quantized(wq) and is_quantized(wk) and is_quantized(wv)):
+        return params
+    blocks["wqkv"] = {
+        "q": jnp.concatenate([wq["q"], wk["q"], wv["q"]], axis=-1),
+        "s": jnp.concatenate([wq["s"], wk["s"], wv["s"]], axis=-1),
+    }
+    blocks["bqkv"] = jnp.concatenate(
+        [blocks["bq"], jnp.zeros_like(blocks["bq"]), blocks["bv"]], axis=-1
+    )
+    for key in ("wq", "wk", "wv", "bq", "bv"):
+        del blocks[key]
+    dec["blocks"] = blocks
+    out = dict(params)
+    out["decoder"] = dec
+    return out
+
+
 def quant_matmul(x, leaf, preferred=jnp.float32):
     """x @ W for a quantized leaf; int8 streams from HBM, f32 accumulate."""
     q = leaf["q"].astype(x.dtype)
