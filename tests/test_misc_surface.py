@@ -193,3 +193,20 @@ def test_transient_partials_and_characters_to_numbers():
     assert finals, ws.sent
     assert finals[0]["final"] == 0  # transient
     assert finals[0]["transcript"] == "105元"  # cn2an applied
+
+
+def test_parity_harness_self_check():
+    """tools/parity_vs_reference.py --check: the real-weights CER-parity
+    harness (PARITY_PLAN.md) stays runnable without weights."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "parity_vs_reference.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["check"] == "ok"
