@@ -171,3 +171,114 @@ def test_fused_decode_path_matches_unfused_int8():
     for b in range(2):
         n = int(lengths[b])
         assert list(ref_tok[b, :n]) == list(fus_tok[b, :n]), b
+
+
+def test_attnout_cross_int8_matches_composition():
+    """attnout_ln_q_cross_int8 == attnout_ln_q_fused + dequantized-KV
+    cross attention (interpret mode)."""
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import quantize_kv
+    from ttasr.ops.decoder_blocks_pallas import (
+        attnout_ln_q_cross_int8,
+        attnout_ln_q_fused,
+    )
+
+    rng = np.random.default_rng(3)
+    b, k_pad, h, dh, s, s_real = 2, 8, 4, 64, 48, 45
+    d = h * dh
+    x = (rng.standard_normal((b, k_pad, d)) * 0.3).astype(np.float32)
+    attn = (rng.standard_normal((b, k_pad, d)) * 0.3).astype(np.float32)
+    ln_s = (rng.standard_normal(d) * 0.1 + 1).astype(np.float32)
+    ln_b = (rng.standard_normal(d) * 0.1).astype(np.float32)
+    wo = quantize_tensor((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    bo = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    wqc = quantize_tensor((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    bqc = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    ck = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    cv = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    ck8, cks = quantize_kv(jnp.asarray(ck))
+    cv8, cvs = quantize_kv(jnp.asarray(cv))
+    cks_t = jnp.swapaxes(cks, 1, 2)  # (B, H, S)
+    cvs_t = jnp.swapaxes(cvs, 1, 2)
+
+    xo_g, cross_g = attnout_ln_q_cross_int8(
+        jnp.asarray(x), jnp.asarray(attn),
+        wo["q"], wo["s"], bo, ln_s, ln_b, wqc["q"], wqc["s"], bqc,
+        jnp.asarray(ck8).reshape(b, s, d), cks_t,
+        jnp.asarray(cv8).reshape(b, s, d), cvs_t,
+        s_real=s_real, interpret=True,
+    )
+    xo_g, cross_g = np.asarray(xo_g), np.asarray(cross_g)
+
+    # reference: verified attnout kernel + f32 attention on dequantized KV
+    xo_ref, qc_ref = attnout_ln_q_fused(
+        jnp.asarray(x.reshape(b * k_pad, d)),
+        jnp.asarray(attn.reshape(b * k_pad, d)),
+        wo["q"], wo["s"], bo, ln_s, ln_b, wqc["q"], wqc["s"], bqc,
+        interpret=True,
+    )
+    xo_ref = np.asarray(xo_ref).reshape(b, k_pad, d)
+    qc_ref = np.asarray(qc_ref).reshape(b, k_pad, h, dh)
+    ck_dq = np.asarray(ck8).astype(np.float32) * np.asarray(cks)[..., None]
+    cv_dq = np.asarray(cv8).astype(np.float32) * np.asarray(cvs)[..., None]
+    scores = np.einsum("bqhd,bkhd->bhqk", qc_ref * dh ** -0.5, ck_dq)
+    scores[..., s_real:] = -1e30
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    cross_ref = np.einsum("bhqk,bkhd->bqhd", probs, cv_dq).reshape(b, k_pad, d)
+
+    assert np.abs(xo_g - xo_ref).max() / np.abs(xo_ref).max() < 5e-2
+    rel = np.abs(cross_g - cross_ref).max() / (np.abs(cross_ref).max() + 1e-9)
+    assert rel < 5e-2, rel
+
+
+def test_fused_cross_decode_path_matches_unfused():
+    """greedy_decode with cross_kv_int8 through the combined kernel
+    (dh=64 config) emits the same tokens as the unfused int8 XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.decode import (
+        DecodingOptions,
+        TokenizerInfo,
+        greedy_decode,
+        pad_prompts,
+    )
+    from ttasr.models.whisper.model import encode, init_params
+    from ttasr.ops.mel import log_mel_spectrogram
+    from ttasr.ops.quant import fuse_qkv, quantize_params
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = WhisperConfig(
+        name="micro64", vocab_size=tok.vocab_size, num_mel_bins=80,
+        d_model=128, encoder_layers=1, encoder_heads=2,
+        decoder_layers=2, decoder_heads=2, ffn_dim=256,
+    )
+    qparams = quantize_params(init_params(cfg, seed=0))
+    fparams = fuse_qkv(qparams)
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 48000)).astype(np.float32) * 0.1
+    mel = log_mel_spectrogram(audio, n_mels=80)
+    ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    opts = DecodingOptions(beam_size=1, sample_len=8, kv_int8=True,
+                           cross_kv_int8=True)
+    prompt, pad = pad_prompts(
+        [tok.sot_sequence("zh", predict_timestamps=True)] * 2, tok.eot)
+    key = jax.random.PRNGKey(0)
+
+    enc_q = encode(qparams, cfg, mel)
+    out_ref = greedy_decode(qparams, cfg, enc_q, prompt, pad, key,
+                            opts=opts, ti=ti)
+    enc_f = encode(fparams, cfg, mel)
+    out_fused = greedy_decode(fparams, cfg, enc_f, prompt, pad, key,
+                              opts=opts, ti=ti)
+    ref_tok = np.asarray(out_ref["tokens"])
+    fus_tok = np.asarray(out_fused["tokens"])
+    lengths = np.asarray(out_ref["lengths"])
+    for i in range(2):
+        n = int(lengths[i])
+        assert list(ref_tok[i, :n]) == list(fus_tok[i, :n]), i

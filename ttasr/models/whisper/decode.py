@@ -265,21 +265,53 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
             vs_cache, v_scale, slot, axis=1)
         attn = _quant_self_attention(q, k_cache, ks_cache, v_cache,
                                      vs_cache, mask)
-        xo, qc = attnout_ln_q_fused(
-            x2, _merge_heads(attn)[:, 0].astype(jnp.float32),
-            blk["wo"]["q"], blk["wo"]["s"], blk["bo"],
-            blk["lnc_s"], blk["lnc_b"],
-            blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
-            interpret=interp,
-        )
-        qc = _split_heads(qc[:, None, :].astype(x.dtype), cfg.decoder_heads)
-        if cross_quantized:
-            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
-                                          cfg.max_source_positions)
+        attn2 = _merge_heads(attn)[:, 0].astype(jnp.float32)
+        h, dh = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
+        bk = x2.shape[0]
+        b_audio = ck.shape[0]
+        group = bk // b_audio
+        if cross_quantized and dh == 64 and h % 2 == 0 and group <= 8:
+            # attn out-proj + lnc + cross-q + int8 cross-attention in ONE
+            # kernel per layer: the int8 cross-KV stream (the dominant
+            # per-step HBM term) converts in VMEM with no re-layouts.
+            from ttasr.ops.decoder_blocks_pallas import (
+                K_PAD,
+                attnout_ln_q_cross_int8,
+            )
+
+            pad_rows = K_PAD - group
+            to_groups = lambda t: jnp.pad(  # noqa: E731
+                t.reshape(b_audio, group, -1),
+                ((0, 0), (0, pad_rows), (0, 0)))
+            s_pad = ck.shape[1]
+            xo_g, cross_g = attnout_ln_q_cross_int8(
+                to_groups(x2), to_groups(attn2),
+                blk["wo"]["q"], blk["wo"]["s"], blk["bo"],
+                blk["lnc_s"], blk["lnc_b"],
+                blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
+                ck.reshape(b_audio, s_pad, h * dh), cks,
+                cv.reshape(b_audio, s_pad, h * dh), cvs,
+                s_real=cfg.max_source_positions, interpret=interp,
+            )
+            xo = xo_g[:, :group].reshape(bk, cfg.d_model)
+            cross2 = cross_g[:, :group].reshape(bk, cfg.d_model)
         else:
-            cross = _cross_attention(qc, ck, cv)
+            xo, qc = attnout_ln_q_fused(
+                x2, attn2,
+                blk["wo"]["q"], blk["wo"]["s"], blk["bo"],
+                blk["lnc_s"], blk["lnc_b"],
+                blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
+                interpret=interp,
+            )
+            qc = _split_heads(qc[:, None, :].astype(x.dtype), h)
+            if cross_quantized:
+                cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
+                                              cfg.max_source_positions)
+            else:
+                cross = _cross_attention(qc, ck, cv)
+            cross2 = _merge_heads(cross)[:, 0].astype(jnp.float32)
         x_new = mlp_with_crossout_int8(
-            xo, _merge_heads(cross)[:, 0].astype(jnp.float32),
+            xo, cross2,
             blk["wo_c"]["q"], blk["wo_c"]["s"], blk["bo_c"],
             blk["ln2_s"], blk["ln2_b"],
             blk["w1"]["q"], blk["w1"]["s"], blk["b1"],
@@ -426,10 +458,8 @@ def _apply_rules(logits, *, ti: TokenizerInfo, opts: DecodingOptions,
 
 
 def _untranspose_scales(scales_t, h: int):
-    """Kernel (B, H//2, 8, S) scale layout back to (B, S, H)."""
-    rows = scales_t[:, :, :2, :]                        # (B, P, 2, S)
-    b, p, _, s = rows.shape
-    return jnp.transpose(rows.reshape(b, p * 2, s), (0, 2, 1))
+    """Kernel (B, H, S) scale layout back to (B, S, H)."""
+    return jnp.swapaxes(scales_t, 1, 2)
 
 
 def _cross_attn_quantized(qc, cfg: WhisperConfig, ck8, cks_t, cv8, cvs_t,

@@ -11,6 +11,11 @@ Kernels:
 - :func:`qkv_int8_fused`     — ln1(x) @ W_qkv + b  (one (D, 3D) matmul)
 - :func:`attnout_ln_q_fused` — x' = x + attn @ Wo + bo;
                                qc = lnc(x') @ Wq_c + bq_c; returns both.
+- :func:`attnout_ln_q_cross_int8` — the above PLUS the beam-grouped
+  cross-attention over the int8 cross-KV cache, one grid step per
+  audio: the int8 K/V stream converts in VMEM and the cross output
+  never takes the (B, P, 16, 128) detour of the standalone kernel
+  (whose q/out re-layouts ate its margin, PERF_NOTES.md).
 
 Row counts must be multiples of 8 (pad outside; padding rows are junk
 but cheap next to the weight streams).
@@ -22,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 
@@ -93,3 +99,133 @@ def attnout_ln_q_fused(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
         ),
         interpret=interpret,
     )(x, attn, wo_q, wo_s2, bo2, lnc_s2, lnc_b2, wqc_q, wqc_s2, bqc2)
+
+
+K_PAD = 8  # beam rows per audio padded to the 8-sublane tile
+
+
+@functools.partial(jax.jit, static_argnames=("s_real", "interpret"))
+def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
+                            wqc_q, wqc_s, bqc, ck8, cks, cv8, cvs,
+                            *, s_real: int, interpret: bool = False):
+    """Self-attn out-proj + residual + lnc + cross-q + int8 cross-attention.
+
+    Per audio i (grid step i):
+        x'  = x[i] + (attn[i] @ Wo) * s_o + b_o
+        qc  = lnc(x') @ Wq_c * s_qc + b_qc
+        out = softmax(qc Kᵀ · ks / sqrt(dh)) · vs @ V        (per head)
+
+    x, attn: (B, K_PAD, D) f32 — beam rows grouped per audio, padded to
+    8 sublanes.  ck8/cv8: (B, S, D) int8 cross-KV (S a multiple of 8,
+    real slots ``s_real``).  cks/cvs: (B, H, S) f32 per-(head, slot)
+    scales.  Weights int8 with (1, D) f32 col scales.
+    Returns (x' (B, K_PAD, D) f32, cross (B, K_PAD, D) f32 merged-head).
+
+    Head pairs (head_dim 64) keep every matmul 128-lane aligned: the two
+    heads' queries sit block-diagonally in a (16, 128) tile so one
+    (16,128)@(128,S) dot scores both heads with no cross terms, and the
+    pair output folds back to merged-head layout with a lane select
+    (no lane-offset concats — Mosaic can't lower those).
+    """
+    b, k_pad, d = x.shape
+    s = ck8.shape[1]
+    h = cks.shape[1]
+    dh = d // h
+    assert dh == 64 and h % 2 == 0, "kernel assumes head_dim 64, even heads"
+    assert k_pad == K_PAD and s % 8 == 0
+    n_pairs = h // 2
+    qscale = dh ** -0.5
+
+    wo_s2 = wo_s.reshape(1, d).astype(jnp.float32)
+    bo2 = bo.reshape(1, d).astype(jnp.float32)
+    lnc_s2 = lnc_s.reshape(1, d).astype(jnp.float32)
+    lnc_b2 = lnc_b.reshape(1, d).astype(jnp.float32)
+    wqc_s2 = wqc_s.reshape(1, d).astype(jnp.float32)
+    bqc2 = bqc.reshape(1, d).astype(jnp.float32)
+
+    def kernel(x_ref, a_ref, wo_ref, wos_ref, bo_ref, ls_ref, lb_ref,
+               wq_ref, wqs_ref, bq_ref, k_ref, ks_ref, v_ref, vs_ref,
+               xo_ref, cross_ref):
+        a = a_ref[0].astype(jnp.bfloat16)
+        proj = jnp.dot(a, wo_ref[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        xn = x_ref[0].astype(jnp.float32) + proj * wos_ref[:] + bo_ref[:]
+        xo_ref[0] = xn
+        ln = _ln_f32(xn, ls_ref, lb_ref).astype(jnp.bfloat16)
+        qc = jnp.dot(ln, wq_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        qc = (qc * wqs_ref[:] + bq_ref[:]) * qscale          # (K_PAD, D)
+
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * K_PAD, s), 1)
+        valid = col_s < s_real
+        top_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (2 * K_PAD, s), 0) < K_PAD
+        col128 = jax.lax.broadcasted_iota(jnp.int32, (K_PAD, 2 * dh), 1)
+
+        def pair_scales(ref, p):
+            even = jnp.broadcast_to(ref[0, 2 * p : 2 * p + 1, :],
+                                    (2 * K_PAD, s))
+            odd = jnp.broadcast_to(ref[0, 2 * p + 1 : 2 * p + 2, :],
+                                   (2 * K_PAD, s))
+            return jnp.where(top_rows, even, odd)
+
+        for p in range(n_pairs):
+            c0 = p * 2 * dh
+            k_pair = k_ref[0, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
+            v_pair = v_ref[0, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
+            q_cols = qc[:, c0 : c0 + 2 * dh]                  # (8, 128)
+            # block-diagonal (16, 128): rows 0..7 even head, 8..15 odd
+            q_pair = jnp.concatenate(
+                [jnp.where(col128 < dh, q_cols, 0.0),
+                 jnp.where(col128 >= dh, q_cols, 0.0)], axis=0
+            ).astype(jnp.bfloat16)
+            raw = jax.lax.dot_general(
+                q_pair, k_pair, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # (16, S)
+            scores = jnp.where(valid, raw * pair_scales(ks_ref, p),
+                               np.finfo(np.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = (probs * pair_scales(vs_ref, p)).astype(jnp.bfloat16)
+            out_pair = jax.lax.dot_general(
+                probs, v_pair, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                 # (16, 128)
+            # merged-head layout: cols 0:64 from the even-head rows,
+            # cols 64:128 from the odd-head rows (lane select, no shift)
+            merged = jnp.where(col128 < dh, out_pair[:K_PAD],
+                               out_pair[K_PAD:])
+            cross_ref[0, :, c0 : c0 + 2 * dh] = merged
+
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),   # x
+            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),   # attn
+            pl.BlockSpec((d, d), const2),                       # wo_q
+            pl.BlockSpec((1, d), const2),                       # wo_s
+            pl.BlockSpec((1, d), const2),                       # bo
+            pl.BlockSpec((1, d), const2),                       # lnc_s
+            pl.BlockSpec((1, d), const2),                       # lnc_b
+            pl.BlockSpec((d, d), const2),                       # wqc_q
+            pl.BlockSpec((1, d), const2),                       # wqc_s
+            pl.BlockSpec((1, d), const2),                       # bqc
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),       # ck8
+            pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),       # cks
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),       # cv8
+            pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),       # cvs
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad, d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, attn, wo_q, wo_s2, bo2, lnc_s2, lnc_b2, wqc_q, wqc_s2, bqc2,
+      ck8, cks, cv8, cvs)
