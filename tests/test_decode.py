@@ -281,3 +281,54 @@ def test_pallas_cross_attention_matches_xla_fallback():
         q.reshape(B, K, H, Dh), ck8, cks, cv8, cvs, mask
     ))
     assert np.abs(got - ref).max() < 5e-3
+
+
+def test_finished_set_insert_vectorization():
+    """The one-hot finished-set insert in beam_decode matches a
+    sequential reference over random eot patterns."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    B, K, T = 3, 5, 12
+    for _ in range(50):
+        fin_tokens = rng.integers(0, 100, (B, K, T))
+        fin_len = rng.integers(0, T, (B, K))
+        fin_logprob = rng.standard_normal((B, K)).astype(np.float32)
+        fin_count = rng.integers(0, K + 1, (B,))
+        is_eot = rng.random((B, 2 * K)) < 0.4
+        top_val = -np.abs(rng.standard_normal((B, 2 * K))).astype(np.float32)
+        cand_tokens = rng.integers(0, 100, (B, 2 * K, T))
+        cand_n = rng.integers(0, T, (B, 2 * K))
+
+        # sequential reference (the former fori_loop semantics)
+        ft, fl, fp = fin_tokens.copy(), fin_len.copy(), fin_logprob.copy()
+        fc = fin_count.copy()
+        for b in range(B):
+            c = int(fin_count[b])
+            for i in range(2 * K):
+                if is_eot[b, i] and c < K:
+                    ft[b, c] = cand_tokens[b, i]
+                    fl[b, c] = cand_n[b, i]
+                    fp[b, c] = top_val[b, i]
+                    c += 1
+            fc[b] = c
+
+        # vectorized (mirrors decode.py beam body)
+        eot_rank = np.cumsum(is_eot, axis=1) - 1
+        slot = fin_count[:, None] + eot_rank
+        can_store = is_eot & (slot < K) & (eot_rank >= 0)
+        sel = can_store[:, None, :] & (
+            slot[:, None, :] == np.arange(K)[None, :, None])
+        has = sel.any(axis=2)
+        idx = sel.argmax(axis=2)
+        got_tokens = np.take_along_axis(cand_tokens, idx[:, :, None], axis=1)
+        vt = np.where(has[:, :, None], got_tokens, fin_tokens)
+        vl = np.where(has, np.take_along_axis(cand_n, idx, axis=1), fin_len)
+        vp = np.where(has, np.take_along_axis(top_val, idx, axis=1),
+                      fin_logprob)
+        vc = np.minimum(fin_count + can_store.sum(axis=1), K)
+
+        np.testing.assert_array_equal(vt, ft)
+        np.testing.assert_array_equal(vl, fl)
+        np.testing.assert_array_equal(vp, fp)
+        np.testing.assert_array_equal(vc, fc)

@@ -1,6 +1,8 @@
 """Fused decoder Pallas kernels — correctness vs the XLA reference
 (interpret mode on CPU; the real win is measured on TPU, PERF_NOTES.md)."""
 
+from dataclasses import replace as dataclasses_replace
+
 import numpy as np
 import pytest
 
@@ -271,14 +273,94 @@ def test_fused_cross_decode_path_matches_unfused():
     key = jax.random.PRNGKey(0)
 
     enc_q = encode(qparams, cfg, mel)
-    out_ref = greedy_decode(qparams, cfg, enc_q, prompt, pad, key,
-                            opts=opts, ti=ti)
     enc_f = encode(fparams, cfg, mel)
-    out_fused = greedy_decode(fparams, cfg, enc_f, prompt, pad, key,
-                              opts=opts, ti=ti)
-    ref_tok = np.asarray(out_ref["tokens"])
-    fus_tok = np.asarray(out_fused["tokens"])
-    lengths = np.asarray(out_ref["lengths"])
-    for i in range(2):
-        n = int(lengths[i])
-        assert list(ref_tok[i, :n]) == list(fus_tok[i, :n]), i
+    from ttasr.models.whisper.decode import beam_decode
+
+    for decode_fn, beam in [(greedy_decode, 1), (beam_decode, 3)]:
+        o = dataclasses_replace(opts, beam_size=beam)
+        out_ref = decode_fn(qparams, cfg, enc_q, prompt, pad, key,
+                            opts=o, ti=ti)
+        out_fused = decode_fn(fparams, cfg, enc_f, prompt, pad, key,
+                              opts=o, ti=ti)
+        ref_tok = np.asarray(out_ref["tokens"])
+        fus_tok = np.asarray(out_fused["tokens"])
+        lengths = np.asarray(out_ref["lengths"])
+        for i in range(2):
+            n = int(lengths[i])
+            assert list(ref_tok[i, :n]) == list(fus_tok[i, :n]), (beam, i)
+
+
+def test_self_attn_step_kernel_matches_unfused():
+    """self_attn_step_int8 (interpret) == quantize_kv + cache update +
+    _quant_self_attention over the 5-D layout."""
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import _quant_self_attention, quantize_kv
+    from ttasr.ops.self_attention_pallas import self_attn_step_int8
+
+    rng = np.random.default_rng(5)
+    b, k_rows, h, dh, s_len = 2, 3, 2, 64, 16
+    d = h * dh
+    bk = b * k_rows
+    hp = 8
+    slot = 10
+    pad = np.array([[0, 2, 0], [1, 0, 3]], np.int32)
+
+    qkv = (rng.standard_normal((b, k_rows, 3 * d)) * 0.5).astype(np.float32)
+    cache_kv = (rng.standard_normal((2, bk, s_len, h, dh)) * 0.5
+                ).astype(np.float32)
+    k8c, ksc = quantize_kv(jnp.asarray(cache_kv[0]))
+    v8c, vsc = quantize_kv(jnp.asarray(cache_kv[1]))
+    # zero out slots >= slot (not yet written) for clarity
+    zero = (np.arange(s_len) >= slot)[None, :, None, None]
+    k8c = jnp.where(zero, 0, k8c)
+    v8c = jnp.where(zero, 0, v8c)
+    ksc = jnp.where(zero[..., 0], 0, ksc)
+    vsc = jnp.where(zero[..., 0], 0, vsc)
+
+    # ---- reference: quantize new rows, update cache, attend --------------
+    qkv_flat = qkv.reshape(bk, 1, 3 * d)
+    q = jnp.asarray(qkv_flat[:, :, :d]).reshape(bk, 1, h, dh)
+    k_new = jnp.asarray(qkv_flat[:, :, d:2 * d]).reshape(bk, 1, h, dh)
+    v_new = jnp.asarray(qkv_flat[:, :, 2 * d:]).reshape(bk, 1, h, dh)
+    k8n, ksn = quantize_kv(k_new)
+    v8n, vsn = quantize_kv(v_new)
+    import jax
+
+    k8u = jax.lax.dynamic_update_slice_in_dim(k8c, k8n, slot, axis=1)
+    v8u = jax.lax.dynamic_update_slice_in_dim(v8c, v8n, slot, axis=1)
+    ksu = jax.lax.dynamic_update_slice_in_dim(ksc, ksn, slot, axis=1)
+    vsu = jax.lax.dynamic_update_slice_in_dim(vsc, vsn, slot, axis=1)
+    kid = np.arange(s_len)[None, :]
+    mask = jnp.asarray(
+        (kid <= slot) & (kid >= pad.reshape(bk)[:, None])
+    )[:, None, None]                                       # (BK,1,1,S)
+    want = np.asarray(_quant_self_attention(
+        q.astype(jnp.bfloat16), k8u, ksu, v8u, vsu, mask
+    )).reshape(b, k_rows, d)
+
+    # ---- kernel ----------------------------------------------------------
+    def to_kernel_scales(sc):
+        t = jnp.swapaxes(sc, 1, 2)                        # (BK, H, S)
+        t = jnp.pad(t, ((0, 0), (0, hp - h), (0, 0)))
+        return t.reshape(b, k_rows, hp, s_len)
+
+    got = self_attn_step_int8(
+        jnp.asarray(qkv),
+        jnp.asarray(k8c).reshape(b, k_rows, s_len, d),
+        to_kernel_scales(ksc),
+        jnp.asarray(v8c).reshape(b, k_rows, s_len, d),
+        to_kernel_scales(vsc),
+        jnp.asarray(pad), jnp.asarray(slot, jnp.int32),
+        n_heads=h, interpret=True,
+    )
+    attn, k8_out, ks_out, v8_out, vs_out = [np.asarray(x) for x in got]
+
+    np.testing.assert_array_equal(
+        k8_out.reshape(bk, 1, h, dh), np.asarray(k8n))
+    np.testing.assert_allclose(
+        ks_out.reshape(bk, 1, h), np.asarray(ksn), rtol=1e-6)
+    np.testing.assert_array_equal(
+        v8_out.reshape(bk, 1, h, dh), np.asarray(v8n))
+    rel = np.abs(attn - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel

@@ -1,9 +1,11 @@
 """Decode-step microprofile on the real TPU: where does the step time go?
 
-Times isolated jitted stages at the exact shapes of the headline bench
-(large-v3, batch 8, beam 5 -> 40 decode rows, int8 fused weights, int8
-self-KV), each fetched to host (axon's block_until_ready does not fully
-synchronize — CLAUDE.md).  Prints one JSON line per stage.
+Each stage runs ITERS times inside one jitted ``lax.fori_loop`` with a
+carried data dependence, so the axon relay's per-dispatch RPC latency
+(~30-60 ms round trip — it dwarfs sub-ms kernels) amortizes away:
+stage_ms = (elapsed - rpc_baseline) / ITERS.  Big operands are jit
+ARGUMENTS (closure-captured arrays ship to the remote compile service
+as constants — 3 GB broke its transport).
 
 Usage: python tools/profile_decode.py [--batch 8] [--beam 5] [--len 144]
 """
@@ -22,8 +24,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np  # noqa: E402
 
+ITERS = 50
 
-def timeit(fn, *args, repeats=20):
+
+def timeit(fn, *args, repeats=5):
     import jax
 
     out = fn(*args)
@@ -42,14 +46,14 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--len", type=int, dest="cache_len", default=144)
-    p.add_argument("--repeats", type=int, default=20)
+    p.add_argument("--repeats", type=int, default=5)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from ttasr.models.whisper.config import get_config
-    from ttasr.models.whisper.decode import DecodingOptions, TokenizerInfo, _step
+    from ttasr.models.whisper.decode import _step
     from ttasr.models.whisper.model import (
         _quant_self_attention,
         init_cache,
@@ -57,7 +61,6 @@ def main():
         quantize_kv,
     )
     from ttasr.ops.quant import fuse_qkv, quantize_params
-    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
 
     cfg = get_config("large-v3")
     b, k = args.batch, args.beam
@@ -75,21 +78,36 @@ def main():
     enc_out = jnp.asarray(
         rng.standard_normal((b, S, d)).astype(np.float32), jnp.bfloat16)
 
-    tok = build_byte_fallback_tokenizer()
-    ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    # ---- RPC baseline: empty-ish loop ------------------------------------
+    @jax.jit
+    def rpc_base(x):
+        def body(i, c):
+            return c + 1.0
+        return jax.lax.fori_loop(0, ITERS, body, x)
 
-    # ---- full _step at fixed cache length (fused int8 weights) ----------
-    # All big operands are jit ARGUMENTS: closure-captured arrays become
-    # compile-time constants shipped to the remote compile service (3 GB
-    # -> broken pipe).
-    token = jnp.zeros((bk, 1), jnp.int32)
+    base = timeit(rpc_base, jnp.zeros((8, 128), jnp.float32),
+                  repeats=args.repeats)
+    results["rpc_baseline_total"] = base
+
+    def per_iter(total):
+        return (total - base) / ITERS
+
+    # ---- full _step loop (token fed back from logits) --------------------
     pad = jnp.zeros((bk,), jnp.int32)
     slot = jnp.asarray(clen - 8, jnp.int32)
 
-    @jax.jit
-    def step_fn(prms, cache):
-        logits, new_cache = _step(prms, cfg, token, slot, pad, cache)
-        return logits
+    def step_loop(prms, cache):
+        def body(i, carry):
+            token, cache = carry
+            logits, cache = _step(prms, cfg, token, slot, pad, cache)
+            token = (jnp.argmax(logits, -1) % 1000).astype(jnp.int32)[:, None]
+            return (token, cache)
+
+        token0 = jnp.zeros((bk, 1), jnp.int32)
+        token, cache = jax.lax.fori_loop(0, ITERS, body, (token0, cache))
+        return token
+
+    step_jit = jax.jit(step_loop)
 
     def make_cache(prms, cross_int8):
         cache = init_cache(prms, cfg, enc_out, max_len=clen, beam_expand=k,
@@ -103,15 +121,17 @@ def main():
             ks=sc.reshape(L, bk, clen, h), vs=sc.reshape(L, bk, clen, h),
             cks=cache.cks, cvs=cache.cvs)
 
-    results["full_step_int8w"] = timeit(
-        step_fn, params_q, make_cache(params_q, False), repeats=args.repeats)
-    results["full_step_int8w_crossint8"] = timeit(
-        step_fn, params_q, make_cache(params_q, True), repeats=args.repeats)
-    results["full_step_bf16w"] = timeit(
-        step_fn, params, make_cache(params, False), repeats=args.repeats)
+    results["full_step_int8w"] = per_iter(timeit(
+        step_jit, params_q, make_cache(params_q, False),
+        repeats=args.repeats))
+    results["full_step_int8w_crossint8"] = per_iter(timeit(
+        step_jit, params_q, make_cache(params_q, True),
+        repeats=args.repeats))
+    results["full_step_bf16w"] = per_iter(timeit(
+        step_jit, params, make_cache(params, False), repeats=args.repeats))
 
-    # ---- cross attention only: XLA bf16 vs Pallas int8 ------------------
-    qc = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
+    # ---- cross attention only: XLA bf16 vs Pallas fused -----------------
+    qc0 = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
     ck = jnp.asarray(rng.standard_normal((L, b, S, h, dh)), jnp.bfloat16)
     cv = jnp.asarray(rng.standard_normal((L, b, S, h, dh)), jnp.bfloat16)
 
@@ -119,16 +139,19 @@ def main():
     def cross_bf16(qc, ck, cv):
         from ttasr.models.whisper.model import _cross_attention
 
-        def body(carry, scanned):
+        def layer(carry, scanned):
             ck_l, cv_l = scanned
             out = _cross_attention(carry, ck_l, cv_l)
             return out.astype(carry.dtype), None
 
-        out, _ = jax.lax.scan(body, qc, (ck, cv))
-        return out
+        def body(i, carry):
+            out, _ = jax.lax.scan(layer, carry, (ck, cv))
+            return out
 
-    results["cross_attn_bf16_32L"] = timeit(cross_bf16, qc, ck, cv,
-                                            repeats=args.repeats)
+        return jax.lax.fori_loop(0, ITERS, body, qc)
+
+    results["cross_attn_bf16_32L"] = per_iter(timeit(
+        cross_bf16, qc0, ck, cv, repeats=args.repeats))
 
     from ttasr.ops.cross_attention_pallas import (
         cross_attention_int8,
@@ -143,22 +166,55 @@ def main():
     sc_t = transpose_scales(scales).reshape(L, b, h, s_pad)
 
     @jax.jit
-    def cross_int8(qc, ck8_flat, sc_t):
-        def body(carry, scanned):
+    def cross_int8_standalone(qc, ck8_flat, sc_t):
+        def layer(carry, scanned):
             ck_l, cks_l, cv_l, cvs_l = scanned
             out = cross_attention_int8(
                 carry.reshape(b, k, h, dh).astype(jnp.float32),
                 ck_l, cks_l, cv_l, cvs_l, S)
             return out.reshape(bk, 1, h, dh).astype(carry.dtype), None
 
-        out, _ = jax.lax.scan(body, qc, (ck8_flat, sc_t, ck8_flat, sc_t))
-        return out
+        def body(i, carry):
+            out, _ = jax.lax.scan(layer, carry,
+                                  (ck8_flat, sc_t, ck8_flat, sc_t))
+            return out
 
-    results["cross_attn_int8_pallas_32L"] = timeit(
-        cross_int8, qc, ck8_flat, sc_t, repeats=args.repeats)
+        return jax.lax.fori_loop(0, ITERS, body, qc)
 
-    # ---- self attention int8 over cache ---------------------------------
-    q = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
+    results["cross_attn_int8_standalone_32L"] = per_iter(timeit(
+        cross_int8_standalone, qc0, ck8_flat, sc_t, repeats=args.repeats))
+
+    # ---- fused attnout+cross kernel over 32 layers -----------------------
+    from ttasr.ops.decoder_blocks_pallas import attnout_ln_q_cross_int8
+
+    blocks = params_q["decoder"]["blocks"]
+    x0 = jnp.asarray(rng.standard_normal((b, 8, d)), jnp.float32)
+
+    @jax.jit
+    def fused_attnout_cross(x, blocks, ck8_flat, sc_t):
+        def layer(carry, scanned):
+            blk, ck_l, cks_l, cv_l, cvs_l = scanned
+            xo, cross = attnout_ln_q_cross_int8(
+                carry, carry,
+                blk["wo"]["q"], blk["wo"]["s"], blk["bo"],
+                blk["lnc_s"], blk["lnc_b"],
+                blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
+                ck_l, cks_l, cv_l, cvs_l, s_real=S)
+            return xo + cross, None
+
+        def body(i, carry):
+            out, _ = jax.lax.scan(layer, carry,
+                                  (blocks, ck8_flat, sc_t, ck8_flat, sc_t))
+            return out
+
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    results["fused_attnout_cross_int8_32L"] = per_iter(timeit(
+        fused_attnout_cross, x0, blocks, ck8_flat, sc_t,
+        repeats=args.repeats))
+
+    # ---- self attention int8 over cache ----------------------------------
+    q0 = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
     k8 = jnp.asarray(rng.integers(-127, 127, (L, bk, clen, h, dh)), jnp.int8)
     ks = jnp.asarray(np.abs(rng.standard_normal((L, bk, clen, h))) + 0.01,
                      jnp.float32)
@@ -166,30 +222,32 @@ def main():
 
     @jax.jit
     def self_int8(q, k8, ks):
-        def body(carry, scanned):
+        def layer(carry, scanned):
             k_l, ks_l, v_l, vs_l = scanned
             out = _quant_self_attention(carry, k_l, ks_l, v_l, vs_l, mask)
             return out.astype(carry.dtype), None
 
-        out, _ = jax.lax.scan(body, q, (k8, ks, k8, ks))
-        return out
+        def body(i, carry):
+            out, _ = jax.lax.scan(layer, carry, (k8, ks, k8, ks))
+            return out
 
-    results["self_attn_int8_32L"] = timeit(self_int8, q, k8, ks,
-                                           repeats=args.repeats)
+        return jax.lax.fori_loop(0, ITERS, body, q)
 
-    # ---- fused weight kernels over 32 layers -----------------------------
+    results["self_attn_int8_32L"] = per_iter(timeit(
+        self_int8, q0, k8, ks, repeats=args.repeats))
+
+    # ---- fused weight kernels over 32 layers ------------------------------
     from ttasr.ops.decoder_blocks_pallas import (
         attnout_ln_q_fused,
         qkv_int8_fused,
     )
     from ttasr.ops.decoder_mlp_pallas import mlp_with_crossout_int8
 
-    blocks = params_q["decoder"]["blocks"]
-    x2 = jnp.asarray(rng.standard_normal((bk, d)), jnp.float32)
+    x2_0 = jnp.asarray(rng.standard_normal((bk, d)), jnp.float32)
 
     @jax.jit
     def weights_only(x2, blocks):
-        def body(carry, blk):
+        def layer(carry, blk):
             qkv = qkv_int8_fused(carry, blk["ln1_s"], blk["ln1_b"],
                                  blk["wqkv"]["q"], blk["wqkv"]["s"],
                                  blk["bqkv"])
@@ -205,41 +263,52 @@ def main():
                 blk["w2"]["q"], blk["w2"]["s"], blk["b2"])
             return x_new, None
 
-        out, _ = jax.lax.scan(body, x2, blocks)
-        return out
+        def body(i, carry):
+            out, _ = jax.lax.scan(layer, carry, blocks)
+            return out
 
-    results["weight_kernels_32L"] = timeit(weights_only, x2, blocks,
-                                           repeats=args.repeats)
+        return jax.lax.fori_loop(0, ITERS, body, x2)
 
-    # ---- unembed + beam bookkeeping --------------------------------------
-    hdn = jnp.asarray(rng.standard_normal((bk, d)), jnp.bfloat16)
+    results["weight_kernels_32L"] = per_iter(timeit(
+        weights_only, x2_0, blocks, repeats=args.repeats))
+
+    # ---- unembed + top-k ---------------------------------------------------
+    hdn0 = jnp.asarray(rng.standard_normal((bk, d)), jnp.bfloat16)
 
     @jax.jit
     def unembed_topk(hdn, dec):
         from ttasr.models.whisper.model import _unembed
 
-        logits = _unembed(hdn, dec).astype(jnp.float32)
-        cand = logits.reshape(b, k * cfg.vocab_size)
-        return jax.lax.top_k(cand, 2 * k)
+        def body(i, carry):
+            logits = _unembed(carry, dec).astype(jnp.float32)
+            cand = logits.reshape(b, k * cfg.vocab_size)
+            vals, _ = jax.lax.top_k(cand, 2 * k)
+            # fold a scalar back in to serialize iterations
+            return carry * (1.0 + 0.0 * vals.sum().astype(carry.dtype))
 
-    results["unembed_topk"] = timeit(unembed_topk, hdn, params_q["decoder"],
-                                     repeats=args.repeats)
+        return jax.lax.fori_loop(0, ITERS, body, hdn)
 
-    idx = jnp.asarray(rng.integers(0, bk, (bk,)), jnp.int32)
+    results["unembed_topk"] = per_iter(timeit(
+        unembed_topk, hdn0, params_q["decoder"], repeats=args.repeats))
+
+    # ---- beam-reorder gather of the self-KV caches -------------------------
+    idx0 = jnp.asarray(rng.integers(0, bk, (bk,)), jnp.int32)
 
     @jax.jit
     def beam_gather(k8, ks, idx):
-        # checksum the gathered caches so only scalars cross the tunnel
-        # (fetching the 236 MB arrays through the axon relay dominates
-        # the measurement otherwise)
-        idx2 = jnp.roll(idx, 1)  # distinct gathers (defeat CSE): k and v
-        g1, g2 = k8[:, idx], k8[:, idx2]
-        s1, s2 = ks[:, idx], ks[:, idx2]
-        return (g1.astype(jnp.int32).sum() + g2.astype(jnp.int32).sum(),
-                s1.sum() + s2.sum())
+        def body(i, carry):
+            idx, acc = carry
+            g1, g2 = k8[:, idx], k8[:, jnp.roll(idx, 1)]   # k and v gathers
+            s1, s2 = ks[:, idx], ks[:, jnp.roll(idx, 1)]
+            chk = (g1.astype(jnp.int32).sum() + g2.astype(jnp.int32).sum()
+                   + (s1.sum() + s2.sum()).astype(jnp.int32))
+            return (idx + chk * 0, acc + chk)
 
-    results["beam_gather_kv"] = timeit(beam_gather, k8, ks, idx,
-                                       repeats=args.repeats)
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (idx, jnp.int32(0)))
+        return acc
+
+    results["beam_gather_kv"] = per_iter(timeit(
+        beam_gather, k8, ks, idx0, repeats=args.repeats))
 
     for name, t in results.items():
         print(json.dumps({"stage": name, "ms": round(t * 1e3, 3),

@@ -45,7 +45,6 @@ from ttasr.models.whisper.model import (
     _mlp,
     _model_dtype,
     _proj,
-    _quant_cross_attention,
     _quant_self_attention,
     _split_heads,
     _unembed,
@@ -145,6 +144,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
 
     quantized = cache.quantized
     cross_quantized = cache.cross_quantized
+    flat = cache.flat
 
     def scan_block(x, scanned):
         if quantized and cross_quantized:
@@ -157,7 +157,26 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
             blk, k_cache, v_cache, ck, cv = scanned
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
         q, k_new, v_new = _qkv_proj(h, blk, cfg)
-        if quantized:
+        if quantized and flat:
+            # flat int8 layout: k/v (BK, len, D), scales (BK, HP, len)
+            k8, k_scale = quantize_kv(k_new)
+            v8, v_scale = quantize_kv(v_new)
+            hp = ks_cache.shape[1]
+            n_h = k_scale.shape[-1]
+
+            def sc_t(s):
+                s = jnp.swapaxes(s, 1, 2)                   # (BK, H, T)
+                return jnp.pad(s, ((0, 0), (0, hp - n_h), (0, 0)))
+
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, _merge_heads(k8), 0, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, _merge_heads(v8), 0, axis=1)
+            ks_cache = jax.lax.dynamic_update_slice_in_dim(
+                ks_cache, sc_t(k_scale), 0, axis=2)
+            vs_cache = jax.lax.dynamic_update_slice_in_dim(
+                vs_cache, sc_t(v_scale), 0, axis=2)
+        elif quantized:
             k8, k_scale = quantize_kv(k_new)
             v8, v_scale = quantize_kv(v_new)
             k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k8, 0, axis=1)
@@ -223,6 +242,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
 
     quantized = cache.quantized
     cross_quantized = cache.cross_quantized
+    flat = cache.flat
 
     # Fused Pallas decode path: active when the weights carry the fused
     # int8 layout (engine compute_type="int8" + fuse_qkv).  Every weight
@@ -252,49 +272,76 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
             blk["wqkv"]["q"], blk["wqkv"]["s"], blk["bqkv"],
             interpret=interp,
         )
-        q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
-        split = lambda t: _split_heads(t[:, None, :], cfg.decoder_heads)  # noqa: E731
-        q, k_new, v_new = split(q), split(k_new), split(v_new)
-        k8, k_scale = quantize_kv(k_new)
-        v8, v_scale = quantize_kv(v_new)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k8, slot, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v8, slot, axis=1)
-        ks_cache = jax.lax.dynamic_update_slice_in_dim(
-            ks_cache, k_scale, slot, axis=1)
-        vs_cache = jax.lax.dynamic_update_slice_in_dim(
-            vs_cache, v_scale, slot, axis=1)
-        attn = _quant_self_attention(q, k_cache, ks_cache, v_cache,
-                                     vs_cache, mask)
-        attn2 = _merge_heads(attn)[:, 0].astype(jnp.float32)
         h, dh = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
         bk = x2.shape[0]
         b_audio = ck.shape[0]
         group = bk // b_audio
+        if flat:
+            # fused quantize + cache-read attention + in-softmax merge of
+            # the new entry; caches updated AFTER with one small slice
+            # write each (the kernel replaces ~19 XLA ops per layer).
+            from ttasr.ops.self_attention_pallas import self_attn_step_int8
+
+            d = cfg.d_model
+            hp = ks_cache.shape[1]
+            cache_len = k_cache.shape[1]
+            attn_g, k8n, ksn, v8n, vsn = self_attn_step_int8(
+                qkv.reshape(b_audio, group, 3 * d),
+                k_cache.reshape(b_audio, group, cache_len, d),
+                ks_cache.reshape(b_audio, group, hp, cache_len),
+                v_cache.reshape(b_audio, group, cache_len, d),
+                vs_cache.reshape(b_audio, group, hp, cache_len),
+                pad_len.reshape(b_audio, group), slot,
+                n_heads=h, interpret=interp,
+            )
+            attn2 = attn_g.reshape(bk, d)
+
+            def sc_pad(s):
+                s = s.reshape(bk, h)
+                return jnp.pad(s, ((0, 0), (0, hp - h)))[:, :, None]
+
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k8n.reshape(bk, 1, d), slot, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v8n.reshape(bk, 1, d), slot, axis=1)
+            ks_cache = jax.lax.dynamic_update_slice_in_dim(
+                ks_cache, sc_pad(ksn), slot, axis=2)
+            vs_cache = jax.lax.dynamic_update_slice_in_dim(
+                vs_cache, sc_pad(vsn), slot, axis=2)
+        else:
+            q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+            split = lambda t: _split_heads(t[:, None, :], cfg.decoder_heads)  # noqa: E731
+            q, k_new, v_new = split(q), split(k_new), split(v_new)
+            k8, k_scale = quantize_kv(k_new)
+            v8, v_scale = quantize_kv(v_new)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k8, slot, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v8, slot, axis=1)
+            ks_cache = jax.lax.dynamic_update_slice_in_dim(
+                ks_cache, k_scale, slot, axis=1)
+            vs_cache = jax.lax.dynamic_update_slice_in_dim(
+                vs_cache, v_scale, slot, axis=1)
+            attn = _quant_self_attention(q, k_cache, ks_cache, v_cache,
+                                         vs_cache, mask)
+            attn2 = _merge_heads(attn)[:, 0].astype(jnp.float32)
         if cross_quantized and dh == 64 and h % 2 == 0 and group <= 8:
             # attn out-proj + lnc + cross-q + int8 cross-attention in ONE
             # kernel per layer: the int8 cross-KV stream (the dominant
             # per-step HBM term) converts in VMEM with no re-layouts.
             from ttasr.ops.decoder_blocks_pallas import (
-                K_PAD,
                 attnout_ln_q_cross_int8,
             )
 
-            pad_rows = K_PAD - group
-            to_groups = lambda t: jnp.pad(  # noqa: E731
-                t.reshape(b_audio, group, -1),
-                ((0, 0), (0, pad_rows), (0, 0)))
-            s_pad = ck.shape[1]
+            to_groups = lambda t: t.reshape(b_audio, group, -1)  # noqa: E731
             xo_g, cross_g = attnout_ln_q_cross_int8(
                 to_groups(x2), to_groups(attn2),
                 blk["wo"]["q"], blk["wo"]["s"], blk["bo"],
                 blk["lnc_s"], blk["lnc_b"],
                 blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
-                ck.reshape(b_audio, s_pad, h * dh), cks,
-                cv.reshape(b_audio, s_pad, h * dh), cvs,
+                ck, cks, cv, cvs,
                 s_real=cfg.max_source_positions, interpret=interp,
             )
-            xo = xo_g[:, :group].reshape(bk, cfg.d_model)
-            cross2 = cross_g[:, :group].reshape(bk, cfg.d_model)
+            xo = xo_g.reshape(bk, cfg.d_model)
+            cross2 = cross_g.reshape(bk, cfg.d_model)
         else:
             xo, qc = attnout_ln_q_fused(
                 x2, attn2,
@@ -464,32 +511,42 @@ def _untranspose_scales(scales_t, h: int):
 
 def _cross_attn_quantized(qc, cfg: WhisperConfig, ck8, cks_t, cv8, cvs_t,
                           s_real: int):
-    """Dispatch quantized cross-attention.
+    """Dispatch quantized cross-attention over the FLAT int8 cache.
 
-    Single-token steps with <=8 beam rows per audio use the fused Pallas
-    kernel (int8 streamed from HBM, converted in VMEM); other shapes
-    (prefill) fall back to the XLA folded-scale path with the padded
-    source slots masked out.
+    ck8/cv8: (B, S, H*Dh) int8 (init_cache stores the quantized cross-KV
+    flat — a 5-D int8 layout tile-pads in HBM and forces a per-step
+    relayout at the kernel boundary).  Single-token steps with <=8 beam
+    rows per audio use the fused Pallas kernel; other shapes (prefill)
+    fall back to the XLA folded-scale path with the padded source slots
+    masked out.
     """
     bk, t, h, dh = qc.shape
-    b = ck8.shape[0]
+    b, s = ck8.shape[0], ck8.shape[1]
     group = bk // b
     on_tpu = jax.default_backend() == "tpu"
     if t == 1 and group <= 8 and dh == 64 and h % 2 == 0:
         out = cross_attention_int8(
-            qc.reshape(b, group, h, dh), ck8.reshape(b, ck8.shape[1], h * dh),
-            cks_t, cv8.reshape(b, cv8.shape[1], h * dh), cvs_t, s_real,
+            qc.reshape(b, group, h, dh), ck8, cks_t, cv8, cvs_t, s_real,
             interpret=not on_tpu,
         )
         return out.reshape(bk, t, h, dh).astype(qc.dtype)
-    # XLA fallback (prefill): folded scales + mask of the padded slots
+    # XLA fallback (prefill, once per window): folded scales + mask
     cks = _untranspose_scales(cks_t, h)
     cvs = _untranspose_scales(cvs_t, h)
-    s = ck8.shape[1]
     qg = qc.reshape(b, group * t, h, dh)
     mask = (jnp.arange(s)[None, :] < s_real)[None, None]
-    out = _quant_self_attention(qg, ck8, cks, cv8, cvs, mask)
+    out = _quant_self_attention(qg, ck8.reshape(b, s, h, dh), cks,
+                                cv8.reshape(b, s, h, dh), cvs, mask)
     return out.reshape(bk, t, h, dh)
+
+def _use_flat_kv(params, cfg: WhisperConfig, opts: DecodingOptions) -> bool:
+    """Flat int8 self-KV layout: only when the fused decode kernels run
+    (int8 fused weights) and the self-attention kernel's head_dim-64
+    assumption holds."""
+    return (opts.kv_int8
+            and "wqkv" in params["decoder"]["blocks"]
+            and cfg.d_model // cfg.decoder_heads == 64)
+
 
 def _growth_buckets(max_prompt: int, sample_len: int):
     """Static cache-length schedule: the per-step beam gather and
@@ -506,7 +563,7 @@ def _growth_buckets(max_prompt: int, sample_len: int):
 
 
 def _pad_cache_to(cache: DecodeCache, new_len: int) -> DecodeCache:
-    """Grow the self-KV caches (axis 2) to ``new_len`` slots."""
+    """Grow the self-KV caches (len axis) to ``new_len`` slots."""
     cur = cache.k.shape[2]
     if cur >= new_len:
         return cache
@@ -517,8 +574,9 @@ def _pad_cache_to(cache: DecodeCache, new_len: int) -> DecodeCache:
         widths[axis] = (0, pad)
         return jnp.pad(x, widths)
 
-    ks = grow(cache.ks) if cache.quantized else cache.ks
-    vs = grow(cache.vs) if cache.quantized else cache.vs
+    sc_axis = 3 if cache.flat else 2  # flat scales are (L, BK, HP, len)
+    ks = grow(cache.ks, sc_axis) if cache.quantized else cache.ks
+    vs = grow(cache.vs, sc_axis) if cache.quantized else cache.vs
     return DecodeCache(grow(cache.k), grow(cache.v),
                        cache.cross_k, cache.cross_v, ks, vs,
                        cache.cks, cache.cvs)
@@ -559,7 +617,8 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     cache = init_cache(params, cfg, enc_out,
                        max_len=buckets[0],
                        kv_int8=opts.kv_int8,
-                       cross_kv_int8=opts.cross_kv_int8)
+                       cross_kv_int8=opts.cross_kv_int8,
+                       flat_kv=_use_flat_kv(params, cfg, opts))
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache)
 
     # no_speech prob: at the sot position's logits (predicting the token
@@ -706,7 +765,8 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     cache = init_cache(params, cfg, enc_out,
                        max_len=buckets[0], beam_expand=k,
                        kv_int8=opts.kv_int8,
-                       cross_kv_int8=opts.cross_kv_int8)
+                       cross_kv_int8=opts.cross_kv_int8,
+                       flat_kv=_use_flat_kv(params, cfg, opts))
     hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
@@ -769,23 +829,23 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         cand_tokens = s["tokens"][src_flat].reshape(b, 2 * k, opts.sample_len)
         cand_n = s["n"][src_flat].reshape(b, 2 * k)
 
-        fin_tokens, fin_len, fin_logprob = s["fin_tokens"], s["fin_len"], s["fin_logprob"]
-
-        def store_one(i, carry):
-            ft, fl, fp = carry
-            stores = can_store[:, i]
-            sl = jnp.clip(slot[:, i], 0, k - 1)
-            row = jnp.arange(b)
-            new_ft = ft.at[row, sl].set(
-                jnp.where(stores[:, None], cand_tokens[:, i], ft[row, sl])
-            )
-            new_fl = fl.at[row, sl].set(jnp.where(stores, cand_n[:, i], fl[row, sl]))
-            new_fp = fp.at[row, sl].set(jnp.where(stores, top_val[:, i], fp[row, sl]))
-            return new_ft, new_fl, new_fp
-
-        fin_tokens, fin_len, fin_logprob = jax.lax.fori_loop(
-            0, 2 * k, store_one, (fin_tokens, fin_len, fin_logprob)
-        )
+        # Vectorized finished-set insert: for each target slot s there is
+        # at most ONE storable candidate (slot = fin_count + eot_rank is
+        # strictly increasing over eot candidates), so a (B, K, 2K)
+        # one-hot + argmax replaces the former 2K-iteration fori_loop of
+        # scatter updates (~6 dispatches per iteration in the hot step).
+        sel = can_store[:, None, :] & (
+            slot[:, None, :] == jnp.arange(k)[None, :, None]
+        )                                                   # (B, K, 2K)
+        has = jnp.any(sel, axis=2)                          # (B, K)
+        idx = jnp.argmax(sel, axis=2)                       # (B, K)
+        got_tokens = jnp.take_along_axis(
+            cand_tokens, idx[:, :, None], axis=1)           # (B, K, T)
+        fin_tokens = jnp.where(has[:, :, None], got_tokens, s["fin_tokens"])
+        fin_len = jnp.where(
+            has, jnp.take_along_axis(cand_n, idx, axis=1), s["fin_len"])
+        fin_logprob = jnp.where(
+            has, jnp.take_along_axis(top_val, idx, axis=1), s["fin_logprob"])
         fin_count = jnp.minimum(
             s["fin_count"] + jnp.sum(can_store, axis=1), k
         )

@@ -294,7 +294,7 @@ class DecodeCache:
     cross_v: jnp.ndarray
     ks: jnp.ndarray  # (L, B, max_len, H) f32 scales (int8 mode) or (0,)
     vs: jnp.ndarray
-    cks: jnp.ndarray  # (L, B, src_len, H) f32 scales (int8 mode) or (0,)
+    cks: jnp.ndarray  # (L, B, H, src_len) f32 scales, kernel layout, or (0,)
     cvs: jnp.ndarray
 
     @property
@@ -302,6 +302,11 @@ class DecodeCache:
         import jax.numpy as _jnp
 
         return self.k.dtype == _jnp.int8
+
+    @property
+    def flat(self) -> bool:
+        """Flat (L, BK, len, D) int8 self-KV layout (fused kernel)."""
+        return self.k.ndim == 4
 
     @property
     def cross_quantized(self) -> bool:
@@ -332,7 +337,8 @@ def quantize_kv(x):
 
 def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
                beam_expand: int = 1, kv_int8: bool = False,
-               cross_kv_int8: bool = False) -> DecodeCache:
+               cross_kv_int8: bool = False,
+               flat_kv: bool = False) -> DecodeCache:
     """Allocate self-attn cache and precompute cross-attn K/V per layer.
 
     Cross K/V stay at the audio batch size B even when decoding B*K beam
@@ -340,6 +346,12 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
     attention kernels broadcast over the beam group.  The per-layer K/V
     projection runs under ``lax.scan`` so only one layer's f32 matmul
     output is ever live.
+
+    ``flat_kv`` (int8 only) stores the self-KV caches FLAT for the fused
+    self-attention kernel: k/v (L, BK, len, D) int8 and scales
+    (L, BK, HP, len) f32 with HP = ceil(H/8)*8 — the 5-D int8 layout
+    tile-pads (H, 64) trailing dims in HBM and relayouts at kernel
+    boundaries.  Detected downstream via ``DecodeCache.flat``.
     """
     dec = params["decoder"]
     b = enc_out.shape[0]
@@ -367,10 +379,30 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
             cv = jnp.pad(cv, widths)
         ck, cks = jax.vmap(quantize_kv)(ck)
         cv, cvs = jax.vmap(quantize_kv)(cv)
-        # scales stored in the kernel's (B, H//2, 8, S) layout
+        # int8 K/V stored FLAT (L, B, S, H*Dh): the Pallas kernels read
+        # (S, D) int8 blocks, and a 5-D (.., H, Dh) int8 layout would
+        # both tile-pad the (20, 64) trailing dims in HBM and force a
+        # per-step relayout copy at the kernel boundary.
+        s_total = ck.shape[2]
+        ck = ck.reshape(cfg.decoder_layers, b, s_total, h * dh)
+        cv = cv.reshape(cfg.decoder_layers, b, s_total, h * dh)
+        # scales in the kernel's compact (B, H, S) layout
         cks = jax.vmap(transpose_scales)(cks)
         cvs = jax.vmap(transpose_scales)(cvs)
     if kv_int8:
+        if flat_kv:
+            bk = b * beam_expand
+            hp = ((h + 7) // 8) * 8
+            kv_shape = (cfg.decoder_layers, bk, max_len, h * dh)
+            sc_shape = (cfg.decoder_layers, bk, hp, max_len)
+            return DecodeCache(
+                k=jnp.zeros(kv_shape, jnp.int8),
+                v=jnp.zeros(kv_shape, jnp.int8),
+                cross_k=ck, cross_v=cv,
+                ks=jnp.zeros(sc_shape, jnp.float32),
+                vs=jnp.zeros(sc_shape, jnp.float32),
+                cks=cks, cvs=cvs,
+            )
         scale_shape = shape[:-1]
         return DecodeCache(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
@@ -383,19 +415,6 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
         k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
         cross_k=ck, cross_v=cv, ks=empty, vs=empty, cks=cks, cvs=cvs,
     )
-
-
-def _quant_cross_attention(q, ck8, cks, cv8, cvs):
-    """Beam-grouped cross-attention over int8 K/V with folded scales.
-
-    q: (BK, T, H, Dh); ck8/cv8: (B, S, H, Dh) int8; cks/cvs: (B, S, H).
-    """
-    bk, t, h, dh = q.shape
-    b = ck8.shape[0]
-    group = bk // b
-    qg = q.reshape(b, group * t, h, dh)
-    out = _quant_self_attention(qg, ck8, cks, cv8, cvs, None)
-    return out.reshape(bk, t, h, dh)
 
 
 def _quant_self_attention(q, k8, ks, v8, vs, mask):

@@ -115,11 +115,12 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
         qc  = lnc(x') @ Wq_c * s_qc + b_qc
         out = softmax(qc Kᵀ · ks / sqrt(dh)) · vs @ V        (per head)
 
-    x, attn: (B, K_PAD, D) f32 — beam rows grouped per audio, padded to
-    8 sublanes.  ck8/cv8: (B, S, D) int8 cross-KV (S a multiple of 8,
-    real slots ``s_real``).  cks/cvs: (B, H, S) f32 per-(head, slot)
-    scales.  Weights int8 with (1, D) f32 col scales.
-    Returns (x' (B, K_PAD, D) f32, cross (B, K_PAD, D) f32 merged-head).
+    x, attn: (B, K, D) f32 — beam rows grouped per audio (K <= 8; Mosaic
+    pads sub-8 sublane tiles internally, so no host-side padding).
+    ck8/cv8: (B, S, D) int8 cross-KV (S a multiple of 8, real slots
+    ``s_real``).  cks/cvs: (B, H, S) f32 per-(head, slot) scales.
+    Weights int8 with (1, D) f32 col scales.
+    Returns (x' (B, K, D) f32, cross (B, K, D) f32 merged-head).
 
     Head pairs (head_dim 64) keep every matmul 128-lane aligned: the two
     heads' queries sit block-diagonally in a (16, 128) tile so one
@@ -132,7 +133,7 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     h = cks.shape[1]
     dh = d // h
     assert dh == 64 and h % 2 == 0, "kernel assumes head_dim 64, even heads"
-    assert k_pad == K_PAD and s % 8 == 0
+    assert k_pad <= K_PAD and s % 8 == 0
     n_pairs = h // 2
     qscale = dh ** -0.5
 
@@ -156,17 +157,17 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
                      preferred_element_type=jnp.float32)
         qc = (qc * wqs_ref[:] + bq_ref[:]) * qscale          # (K_PAD, D)
 
-        col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * K_PAD, s), 1)
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * k_pad, s), 1)
         valid = col_s < s_real
         top_rows = jax.lax.broadcasted_iota(
-            jnp.int32, (2 * K_PAD, s), 0) < K_PAD
-        col128 = jax.lax.broadcasted_iota(jnp.int32, (K_PAD, 2 * dh), 1)
+            jnp.int32, (2 * k_pad, s), 0) < k_pad
+        col128 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 2 * dh), 1)
 
         def pair_scales(ref, p):
             even = jnp.broadcast_to(ref[0, 2 * p : 2 * p + 1, :],
-                                    (2 * K_PAD, s))
+                                    (2 * k_pad, s))
             odd = jnp.broadcast_to(ref[0, 2 * p + 1 : 2 * p + 2, :],
-                                   (2 * K_PAD, s))
+                                   (2 * k_pad, s))
             return jnp.where(top_rows, even, odd)
 
         for p in range(n_pairs):
@@ -193,8 +194,8 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
             )                                                 # (16, 128)
             # merged-head layout: cols 0:64 from the even-head rows,
             # cols 64:128 from the odd-head rows (lane select, no shift)
-            merged = jnp.where(col128 < dh, out_pair[:K_PAD],
-                               out_pair[K_PAD:])
+            merged = jnp.where(col128 < dh, out_pair[:k_pad],
+                               out_pair[k_pad:])
             cross_ref[0, :, c0 : c0 + 2 * dh] = merged
 
     const2 = lambda i: (0, 0)  # noqa: E731

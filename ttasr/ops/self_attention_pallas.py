@@ -1,0 +1,191 @@
+"""Fused int8 self-attention decode kernel (Pallas/TPU).
+
+One kernel per decoder layer handles the whole self-attention stage of
+an incremental decode step: per-head int8 quantization of the new K/V
+entry, attention of each beam row over its OWN flat int8 cache (scales
+folded — no dequantized temporaries), and the new entry's contribution
+merged in-softmax (so the caller's cache update can happen AFTER the
+kernel with a single small ``dynamic_update_slice`` per tensor).
+
+This replaces ~19 XLA ops per layer of the scan (quantize ops, einsum
+attention, mask/scale folds, head split/merge reshapes) whose dispatch
+overhead dominated the decode step (PERF_NOTES), and reads the cache in
+a FLAT (len, D) int8 layout — the 5-D (len, H, 64) layout tile-pads in
+HBM and relayouts at kernel boundaries.
+
+Key formulation (head_dim 64, H heads, D = 64 H):
+
+- ``Q_diag`` (HP, D): row h holds query head h's 64 values at its own
+  merged-layout columns, built by masking a broadcast (no lane shifts):
+  ``where(row == col // 64, q, 0)``.
+- scores (HP, len) = Q_diag @ K_flatᵀ — ONE full-width MXU contraction
+  computes every head's scores (off-head columns hit zeros).
+- out_full (HP, D) = probs @ V_flat; the merged output selects row
+  ``col // 64`` per column: ``sum_h where(row == col//64, out_full, 0)``.
+
+Grid: (B,) over audios; each program processes the audio's K beam rows.
+Scales live in (H, len) orientation (lane-aligned with the scores).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
+                        n_heads: int, interpret: bool = False):
+    """Fused quantize + int8-cache self-attention for one decode step.
+
+    Args:
+      qkv: (B, K, 3D) f32 — fused q/k/v projections, beam rows grouped
+        per audio (K <= 8).  q = [:D], k_new = [D:2D], v_new = [2D:3D].
+      k8/v8: (B, K, len, D) int8 flat caches; positions < ``slot`` are
+        live (the new entry is NOT yet written — its contribution is
+        merged in-kernel), positions < pad_len are prompt padding.
+      ks/vs: (B, K, HP, len) f32 per-(slot, head) scales, head rows
+        padded to HP = ceil(H/8)*8 (rows >= H are zero).
+      pad_len: (B, K) int32.  slot: () int32 current write position.
+
+    Returns (attn (B,K,D) f32 merged-head,
+             k8_new (B,K,D) int8, ks_new (B,K,H) f32,
+             v8_new (B,K,D) int8, vs_new (B,K,H) f32)
+    — the caller writes the *_new rows into the caches at ``slot``.
+    """
+    b, k_rows, d3 = qkv.shape
+    d = d3 // 3
+    h = n_heads
+    dh = d // h
+    assert dh == 64, "kernel assumes head_dim 64"
+    s_len = k8.shape[2]
+    hp = ks.shape[2]
+    assert hp == ((h + 7) // 8) * 8, (hp, h)
+    qscale = dh ** -0.5
+
+    slot_arr = jnp.asarray(slot, jnp.int32).reshape(1, 1)
+    pad_arr = pad_len.astype(jnp.int32).reshape(b, k_rows)
+
+    def kernel(slot_ref, pad_ref, qkv_ref, k_ref, ks_ref, v_ref, vs_ref,
+               attn_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref):
+        cur = slot_ref[0, 0]
+        prog = pl.program_id(0)  # pad_ref is a whole-array SMEM input
+        col_d = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+        head_of_col = col_d // dh                       # (1, D)
+        row_hp = jax.lax.broadcasted_iota(jnp.int32, (hp, d), 0)
+        diag_mask = row_hp == head_of_col              # (HP, D) broadcast
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
+
+        row_col1 = jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0)
+
+        def quantize_row(x):
+            """(1, D) f32 -> int8 row + scales in col/lane/row layouts."""
+            ax = jnp.abs(x)
+            scale_cols = jnp.zeros((1, d), jnp.float32)
+            scale_heads = jnp.zeros((1, h), jnp.float32)
+            scale_rows = jnp.ones((hp, 1), jnp.float32)
+            for hh in range(h):
+                m = jnp.max(jnp.where(head_of_col == hh, ax, 0.0))
+                sc = jnp.maximum(m, 1e-8) / 127.0
+                scale_cols = jnp.where(head_of_col == hh, sc, scale_cols)
+                scale_heads = jnp.where(col_h == hh, sc, scale_heads)
+                scale_rows = jnp.where(row_col1 == hh, sc, scale_rows)
+            q8 = jnp.clip(jnp.round(x / scale_cols), -127, 127)
+            return q8.astype(jnp.int8), scale_cols, scale_heads, scale_rows
+
+        for j in range(k_rows):
+            row = qkv_ref[0, j : j + 1, :]               # (1, 3D)
+            q = row[:, :d] * qscale
+            k_new = row[:, d : 2 * d]
+            v_new = row[:, 2 * d : 3 * d]
+
+            k8n, ksc_cols, ksc_heads, ksc_rows = quantize_row(k_new)
+            v8n, vsc_cols, vsc_heads, vsc_rows = quantize_row(v_new)
+            k8n_ref[0, j : j + 1, :] = k8n
+            v8n_ref[0, j : j + 1, :] = v8n
+            ksn_ref[0, j : j + 1, :] = ksc_heads
+            vsn_ref[0, j : j + 1, :] = vsc_heads
+
+            # Q_diag: row hh = q's head-hh columns, zeros elsewhere
+            qd = jnp.where(diag_mask, jnp.broadcast_to(q, (hp, d)), 0.0)
+            qd = qd.astype(jnp.bfloat16)
+
+            keys = k_ref[0, j].astype(jnp.bfloat16)      # (len, D)
+            scores = jax.lax.dot_general(
+                qd, keys, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (HP, len)
+            row_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (hp, s_len), 0)
+            col_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (hp, s_len), 1)
+            scores = scores * ks_ref[0, j]               # (HP, len) scales
+            valid = ((col_iota < cur) & (col_iota >= pad_ref[prog, j])
+                     & (row_iota < h))
+            scores = jnp.where(valid, scores, NEG_INF)
+
+            # self term: int8 dot then per-head scale — the same order
+            # as the cached-slot reads, so the merged softmax is
+            # numerically the one the unfused path computes
+            s_self = jax.lax.dot_general(
+                qd, k8n.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ksc_rows                                 # (HP, 1)
+
+            m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
+            e = jnp.exp(scores - m)
+            e_self = jnp.exp(s_self - m)
+            denom = jnp.sum(e, axis=1, keepdims=True) + e_self
+            probs = e / denom                            # (HP, len)
+            p_self = e_self / denom                      # (HP, 1)
+
+            probs_scaled = (probs * vs_ref[0, j]).astype(jnp.bfloat16)
+            vals = v_ref[0, j].astype(jnp.bfloat16)      # (len, D)
+            out_full = jax.lax.dot_general(
+                probs_scaled, vals, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (HP, D)
+            vq = v8n.astype(jnp.float32) * vsc_cols      # (1, D)
+            out_full = out_full + p_self * vq
+            merged = jnp.sum(
+                jnp.where(row_hp == head_of_col, out_full, 0.0),
+                axis=0, keepdims=True,
+            )                                            # (1, D)
+            attn_ref[0, j : j + 1, :] = merged
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # slot (1,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # pad (B,K)
+            pl.BlockSpec((1, k_rows, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k_rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
+        ),
+        interpret=interpret,
+    )(slot_arr, pad_arr, qkv, k8, ks, v8, vs)
+    return out
