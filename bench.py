@@ -118,17 +118,23 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--decode-tokens", type=int, default=128)
     parser.add_argument("--beam", type=int, default=5)
-    parser.add_argument("--compute", default="bfloat16")
+    parser.add_argument("--compute", default="int8")
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--no-kv-int8", action="store_true",
                         help="disable the int8 self-KV cache")
-    parser.add_argument("--cross-kv-int8", action="store_true",
-                        help="int8 cross-KV via the fused Pallas kernel")
+    parser.add_argument("--cross-kv-int8", action="store_true", default=None,
+                        help="int8 cross-KV via the fused kernels (default: "
+                             "on for --compute int8)")
+    parser.add_argument("--no-cross-kv-int8", dest="cross_kv_int8",
+                        action="store_false")
     args = parser.parse_args()
 
+    cross = args.cross_kv_int8
+    if cross is None:
+        cross = args.compute == "int8"
     stats = run_bench(args.model, args.batch, args.decode_tokens, args.beam,
                       args.compute, args.repeats, kv_int8=not args.no_kv_int8,
-                      cross_kv_int8=args.cross_kv_int8)
+                      cross_kv_int8=cross)
     baseline_rtf = 0.1  # reference GPU RTF (README.md:106)
     print(json.dumps({
         "metric": f"whisper-{args.model}_rtf_per_chip",

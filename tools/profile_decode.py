@@ -110,10 +110,21 @@ def main():
     step_jit = jax.jit(step_loop)
 
     def make_cache(prms, cross_int8):
+        flat = "wqkv" in prms["decoder"]["blocks"] and dh == 64
         cache = init_cache(prms, cfg, enc_out, max_len=clen, beam_expand=k,
-                           kv_int8=True, cross_kv_int8=cross_int8)
+                           kv_int8=True, cross_kv_int8=cross_int8,
+                           flat_kv=flat)
         kv = rng.standard_normal((L, bk, clen, h, dh)).astype(np.float32)
         q8, sc = quantize_kv(jnp.asarray(kv.reshape(L * bk, clen, h, dh)))
+        if flat:
+            hp = ((h + 7) // 8) * 8
+            sc_t = jnp.pad(jnp.swapaxes(sc.reshape(L, bk, clen, h), 2, 3),
+                           ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+            return cache.__class__(
+                k=q8.reshape(L, bk, clen, h * dh),
+                v=q8.reshape(L, bk, clen, h * dh),
+                cross_k=cache.cross_k, cross_v=cache.cross_v,
+                ks=sc_t, vs=sc_t, cks=cache.cks, cvs=cache.cvs)
         return cache.__class__(
             k=q8.reshape(L, bk, clen, h, dh),
             v=q8.reshape(L, bk, clen, h, dh),

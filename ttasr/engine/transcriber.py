@@ -136,6 +136,9 @@ class WhisperEngine:
             max_initial_timestamp=opts.max_initial_timestamp,
             sample_len=min(opts.max_new_tokens, SAMPLE_LEN),
             kv_int8=kv_int8,
+            # int8 cross-KV rides the fused attnout+cross kernel: equal
+            # speed to bf16 end-to-end and half the cross-cache HBM
+            cross_kv_int8=kv_int8 and self.compute_type == "int8",
         )
         if temperature == 0.0 and opts.beam_size > 1:
             out = beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
@@ -326,6 +329,9 @@ class WhisperEngine:
             max_initial_timestamp=opts.max_initial_timestamp,
             sample_len=min(opts.max_new_tokens, SAMPLE_LEN),
             kv_int8=kv_int8,
+            # int8 cross-KV rides the fused attnout+cross kernel: equal
+            # speed to bf16 end-to-end and half the cross-cache HBM
+            cross_kv_int8=kv_int8 and self.compute_type == "int8",
         )
         last = None
         for temperature in opts.temperatures:

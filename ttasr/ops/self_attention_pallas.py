@@ -131,13 +131,15 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
                      & (row_iota < h))
             scores = jnp.where(valid, scores, NEG_INF)
 
-            # self term: int8 dot then per-head scale — the same order
-            # as the cached-slot reads, so the merged softmax is
-            # numerically the one the unfused path computes
-            s_self = jax.lax.dot_general(
-                qd, k8n.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * ksc_rows                                 # (HP, 1)
+            # self term: int8 product then per-head scale — the same
+            # order as the cached-slot reads, so the merged softmax is
+            # numerically the one the unfused path computes.  (A
+            # dot_general with N=1 trips a Mosaic vector.broadcast
+            # verifier bug; the VPU multiply-reduce is equivalent.)
+            prod = qd * jnp.broadcast_to(
+                k8n.astype(jnp.bfloat16), (hp, d))
+            s_self = jnp.sum(prod.astype(jnp.float32), axis=1,
+                             keepdims=True) * ksc_rows   # (HP, 1)
 
             m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
             e = jnp.exp(scores - m)
