@@ -364,3 +364,35 @@ def test_self_attn_step_kernel_matches_unfused():
         v8_out.reshape(bk, 1, h, dh), np.asarray(v8n))
     rel = np.abs(attn - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 2e-2, rel
+
+
+def test_encoder_attention_merged_matches_reference():
+    """Merged-layout encoder pair-attention kernel (interpret) matches
+    the XLA attention with the pad columns masked."""
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import _attention
+    from ttasr.ops.encoder_attention_pallas import encoder_attention_merged
+
+    rng = np.random.default_rng(9)
+    b, t_pad, t_real, h, dh = 2, 512, 500, 4, 64
+    d = h * dh
+    mk = lambda: jnp.asarray(  # noqa: E731
+        rng.standard_normal((b, t_pad, d)) * 0.5, jnp.float32)
+    q, k, v = mk(), mk(), mk()
+
+    got = np.asarray(encoder_attention_merged(
+        (q * dh ** -0.5).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), t_real, interpret=True))
+
+    mask = (np.arange(t_pad) < t_real)[None, None, None, :]
+    want = np.asarray(_attention(
+        q.reshape(b, t_pad, h, dh).astype(jnp.bfloat16),
+        k.reshape(b, t_pad, h, dh).astype(jnp.bfloat16),
+        v.reshape(b, t_pad, h, dh).astype(jnp.bfloat16),
+        jnp.asarray(mask))).reshape(b, t_pad, d)
+
+    # only the real rows must agree (pad-row outputs are junk by design)
+    g, w = got[:, :t_real].astype(np.float32), want[:, :t_real].astype(np.float32)
+    rel = np.abs(g - w).max() / (np.abs(w).max() + 1e-9)
+    assert rel < 3e-2, rel

@@ -178,19 +178,29 @@ def _use_fused_encoder_attention(dh: int) -> bool:
     return dh == 64 and jax.default_backend() == "tpu"
 
 
-def _self_attn(x, blk, n_heads, mask=None, fused: bool = False):
+def _self_attn(x, blk, n_heads, mask=None, fused: bool = False,
+               t_real=None):
+    dh = x.shape[-1] // n_heads
+    if (fused and mask is None and _use_fused_encoder_attention(dh)
+            and n_heads % 2 == 0):
+        # merged-layout pair kernel: scores never leave VMEM and the
+        # output is already in the layout the out-projection consumes
+        # (no boundary transposes).  Inference-only (no VJP) — training
+        # passes fused=False via encode(remat=...).
+        from ttasr.ops.encoder_attention_pallas import (
+            encoder_attention_merged,
+        )
+
+        qm = (_proj(x, blk["wq"], blk["bq"]) * (dh ** -0.5)).astype(x.dtype)
+        km = _proj(x, blk["wk"]).astype(x.dtype)
+        vm = _proj(x, blk["wv"], blk["bv"]).astype(x.dtype)
+        out_m = encoder_attention_merged(
+            qm, km, vm, t_real if t_real is not None else x.shape[1])
+        return _proj(out_m, blk["wo"], blk["bo"])
     q = _split_heads(_proj(x, blk["wq"], blk["bq"]), n_heads)
     k = _split_heads(_proj(x, blk["wk"]), n_heads)
     v = _split_heads(_proj(x, blk["wv"], blk["bv"]), n_heads)
-    if fused and mask is None and _use_fused_encoder_attention(q.shape[-1]):
-        # full non-causal attention: scores never leave VMEM.
-        # Inference-only (pallas_call has no VJP) — training passes
-        # fused=False via encode(remat=...).
-        from ttasr.ops.encoder_attention_pallas import encoder_self_attention
-
-        out = encoder_self_attention(q, k, v)
-    else:
-        out = _attention(q, k, v, mask)
+    out = _attention(q, k, v, mask)
     return _proj(_merge_heads(out), blk["wo"], blk["bo"])
 
 
@@ -226,20 +236,30 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
     # stem convs f32; this cast is a no-op when all params share a dtype)
     x = x.astype(enc["pos"].dtype) + enc["pos"]
 
-    # The fused Pallas attention wins in isolation (5.1 vs 7.9 ms/layer)
-    # but loses end-to-end (RTF 0.0168 vs 0.0154): the pallas_call is a
-    # fusion barrier against the surrounding projections. Off by default;
-    # opt in via fused_attention=True (inference only - no VJP).
+    # Merged-layout pair attention kernel (inference only — no VJP).
     fused = False if fused_attention is None else fused_attention
+    dh = cfg.d_model // cfg.encoder_heads
+    use_merged = (fused and _use_fused_encoder_attention(dh)
+                  and cfg.encoder_heads % 2 == 0)
+    t_real = x.shape[1]
+    t_pad = t_real
+    if use_merged:
+        from ttasr.ops.encoder_attention_pallas import TQ_MERGED
+
+        t_pad = -(-t_real // TQ_MERGED) * TQ_MERGED
+        if t_pad != t_real:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t_real), (0, 0)))
 
     def block(x, blk):
         x = x + _self_attn(_ln(x, blk["ln1_s"], blk["ln1_b"]), blk,
-                           cfg.encoder_heads, fused=fused)
+                           cfg.encoder_heads, fused=fused, t_real=t_real)
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         return x, None
 
     body = jax.checkpoint(block) if remat else block
     x, _ = jax.lax.scan(body, x, enc["blocks"])
+    if t_pad != t_real:
+        x = x[:, :t_real]
     return _ln(x, enc["ln_s"], enc["ln_b"])
 
 

@@ -82,3 +82,72 @@ def encoder_self_attention(q, k, v, *, interpret: bool = False):
 
     out = out[:, :t].reshape(b, h, t, dh)
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+
+
+TQ_MERGED = 256
+
+
+def encoder_attention_merged(q, k, v, t_real: int, *,
+                             interpret: bool = False):
+    """Merged-layout encoder self-attention (non-causal, head pairs).
+
+    q/k/v: (B, T_pad, D) bf16 in MERGED-head layout (head h at columns
+    64h..64h+63), T_pad a multiple of ``TQ_MERGED``; q pre-scaled by
+    dh**-0.5.  Columns >= ``t_real`` are masked.  Returns (B, T_pad, D)
+    in merged layout — the SAME layout the surrounding projections use,
+    so unlike the per-(batch, head) kernel above there is no transpose
+    at either kernel boundary (those relayouts are what made it lose
+    end-to-end, PERF_NOTES round 1).
+
+    Head pairs keep the score contraction 128 lanes wide: the two
+    heads' queries sit block-diagonally in a (2 TQ, 128) tile, one
+    (2TQ,128)@(128,T) dot scores both heads (no cross terms), and the
+    pair output folds back with a lane select.
+
+    Grid: (B, n_pairs, T_pad // TQ) — K/V pair panels (T_pad, 128) stay
+    small in VMEM and revisit across the query tiles of a (b, p).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    b, t_pad, d = q.shape
+    dh = 64
+    tq = TQ_MERGED
+    assert t_pad % tq == 0 and d % 128 == 0
+    n_pairs = d // 128
+
+    def kernel(q_ref, k_ref, v_ref, out_ref):
+        q_cols = q_ref[0].astype(jnp.float32)            # (TQ, 128)
+        col128 = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+        q_pair = jnp.concatenate(
+            [jnp.where(col128 < dh, q_cols, 0.0),
+             jnp.where(col128 >= dh, q_cols, 0.0)], axis=0
+        ).astype(jnp.bfloat16)                           # (2TQ, 128)
+        scores = jax.lax.dot_general(
+            q_pair, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (2TQ, T_pad)
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (2 * tq, t_pad), 1)
+        scores = jnp.where(col_t < t_real, scores,
+                           np.finfo(np.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+        out_pair = jax.lax.dot_general(
+            probs, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (2TQ, 128)
+        merged = jnp.where(col128 < dh, out_pair[:tq], out_pair[tq:])
+        out_ref[0] = merged.astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_pairs, t_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, 128), lambda i, p, j: (i, j, p)),
+            pl.BlockSpec((1, t_pad, 128), lambda i, p, j: (i, 0, p)),
+            pl.BlockSpec((1, t_pad, 128), lambda i, p, j: (i, 0, p)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, 128), lambda i, p, j: (i, j, p)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
