@@ -236,8 +236,12 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
     # stem convs f32; this cast is a no-op when all params share a dtype)
     x = x.astype(enc["pos"].dtype) + enc["pos"]
 
-    # Merged-layout pair attention kernel (inference only — no VJP).
-    fused = False if fused_attention is None else fused_attention
+    # Merged-layout pair attention kernel (inference only — no VJP;
+    # default ON: 319 -> 225 ms per batch-8 encoder pass, PERF_NOTES).
+    # The _self_attn branch re-gates on TPU + head_dim 64, so the
+    # default is safe on CPU and for non-Whisper head shapes; training
+    # passes fused_attention=False explicitly (no pallas VJP).
+    fused = True if fused_attention is None else fused_attention
     dh = cfg.d_model // cfg.encoder_heads
     use_merged = (fused and _use_fused_encoder_attention(dh)
                   and cfg.encoder_heads % 2 == 0)
