@@ -37,13 +37,14 @@ CHUNK_S = 1.5                  # buffering strategy chunk (client.py:40-42)
 
 
 def _speechy_pcm(seconds: float, seed: int) -> bytes:
+    """Formant-synthesized speech (the VAD trainer's generator): the
+    learned VAD must ACCEPT the bench audio, or every chunk takes the
+    empty-result retry path (two decodes) and gates only on the 2 s
+    force — which is what a pure-tone signal measures."""
+    from tools.train_vad import synth_speech
+
     rng = np.random.default_rng(seed)
-    n = int(SR * seconds)
-    t = np.arange(n) / SR
-    env = (np.sin(2 * np.pi * 1.7 * t + seed) > -0.3).astype(np.float32)
-    sig = 0.3 * env * np.sin(2 * np.pi * (180 + 15 * seed) * t)
-    sig *= 1 + 0.4 * np.sin(2 * np.pi * 4.2 * t)
-    sig += 0.01 * rng.standard_normal(n)
+    sig, _labels = synth_speech(rng, seconds=seconds)
     return (np.clip(sig, -1, 1) * 32767).astype(np.int16).tobytes()
 
 
@@ -135,11 +136,18 @@ async def run(args) -> dict:
     client = TestClient(TestServer(app))
     await client.start_server()
     try:
-        # warm the compiled decode path once so measured latencies are
-        # steady-state (first compile is 20 s-5 min on a fresh cache)
+        # warm the compiled decode path with the SAME concurrency as the
+        # measurement: concurrent streams pack into different BatchServer
+        # batch shapes than a solo stream, and every fresh shape is a
+        # 20 s-5 min remote compile that would otherwise pollute p50
         warm_lat, warm_first = [], []
         await _stream_one(client, "/ws/stt", 99, 4.0, warm_lat, warm_first,
                           trailing_s=600.0)
+        await asyncio.gather(*[
+            _stream_one(client, "/ws/stt", 90 + i, 6.0, warm_lat,
+                        warm_first, trailing_s=600.0)
+            for i in range(args.streams)
+        ])
 
         latencies, firsts = [], []
         t0 = time.perf_counter()

@@ -9,7 +9,7 @@ engine's timestamp restoration math is identical.  The per-frame speech
 probability comes from an in-repo learned conv VAD
 (``ttasr.audio.vad_model``: harmonic/formant/syllabic-modulation
 features, trained by tools/train_vad.py; Silero's own weights are
-unavailable under zero egress), with a jit-compiled adaptive energy
+unavailable under zero egress), with a host-side adaptive energy
 model as fallback when the vendored weights are absent.
 """
 
@@ -38,30 +38,37 @@ class VadOptions:
     speech_pad_ms: int = 400
 
 
-@functools.lru_cache(maxsize=1)
-def _prob_fn():
-    import jax
-    import jax.numpy as jnp
+def _iir_smooth(x: np.ndarray) -> np.ndarray:
+    """One-pole IIR, forward then backward (zero-phase-ish)."""
+    y = np.empty_like(x)
+    c = x[0]
+    for i in range(len(x)):
+        c = 0.6 * c + 0.4 * x[i]
+        y[i] = c
+    z = np.empty_like(y)
+    c = y[-1]
+    for i in range(len(y) - 1, -1, -1):
+        c = 0.6 * c + 0.4 * y[i]
+        z[i] = c
+    return z
 
-    @jax.jit
-    def prob(audio):
-        n = audio.shape[0] // WINDOW
-        frames = audio[: n * WINDOW].reshape(n, WINDOW)
-        energy = jnp.log(jnp.mean(frames * frames, axis=1) + 1e-10)
-        # adaptive noise floor: low quantile of frame energies
-        floor = jnp.quantile(energy, 0.1)
-        peak = jnp.maximum(jnp.quantile(energy, 0.95), floor + 4.0)
-        score = (energy - floor) / (peak - floor + 1e-6)
-        # light temporal smoothing (one-pole IIR both directions)
-        def smooth(carry, x):
-            y = 0.6 * carry + 0.4 * x
-            return y, y
-        _, fwd = jax.lax.scan(smooth, score[0], score)
-        _, bwd = jax.lax.scan(smooth, fwd[-1], fwd[::-1])
-        s = bwd[::-1]
-        return jax.nn.sigmoid((s - 0.35) * 10.0)
 
-    return prob
+def _energy_prob(audio: np.ndarray) -> np.ndarray:
+    """Adaptive-energy speech score, pure numpy.
+
+    This runs on the host per streaming chunk: a jitted version on the
+    remote-TPU (axon) default backend costs a ~25 ms dispatch round
+    trip per call plus a remote compile per audio-length bucket.  The
+    frame count is a few hundred — numpy is microseconds.
+    """
+    n = audio.shape[0] // WINDOW
+    frames = audio[: n * WINDOW].reshape(n, WINDOW)
+    energy = np.log(np.mean(frames * frames, axis=1) + 1e-10)
+    floor = np.quantile(energy, 0.1)
+    peak = max(np.quantile(energy, 0.95), floor + 4.0)
+    score = (energy - floor) / (peak - floor + 1e-6)
+    s = _iir_smooth(score.astype(np.float64))
+    return (1.0 / (1.0 + np.exp(-(s - 0.35) * 10.0))).astype(np.float32)
 
 
 def speech_probabilities(audio: np.ndarray) -> np.ndarray:
@@ -76,7 +83,7 @@ def speech_probabilities(audio: np.ndarray) -> np.ndarray:
         return np.zeros((0,), np.float32)
     import os
 
-    energy = np.asarray(_prob_fn()(np.asarray(audio, np.float32)))
+    energy = _energy_prob(np.asarray(audio, np.float32))
     if os.environ.get("TTASR_VAD_HEURISTIC") != "1":
         from ttasr.audio.vad_model import vad_probabilities
 

@@ -119,17 +119,39 @@ def _load_weights() -> Optional[Dict[str, np.ndarray]]:
         return {k: z[k] for k in z.files}
 
 
-@functools.lru_cache(maxsize=1)
-def _jitted_prob():
-    import jax
+def _conv1d_np(x, w, b, dilation=1):
+    """x (T, Cin), w (K, Cin, Cout), 'same' padding.  K is 3-5 taps and
+    T a few hundred frames — a tap loop is microseconds."""
+    k = w.shape[0]
+    pad = dilation * (k // 2)
+    xp = np.pad(x, ((pad, pad), (0, 0)))
+    t = x.shape[0]
+    out = np.broadcast_to(b, (t, w.shape[2])).copy()
+    for i in range(k):
+        out += xp[i * dilation : i * dilation + t] @ w[i]
+    return out
 
-    fb = mel_filterbank()
 
-    @jax.jit
-    def prob(params, audio):
-        return _forward(params, log_mel_frames(audio, fb))
+def _forward_np(params, logmel):
+    """Pure-numpy twin of :func:`_forward` for the serving path: the net
+    is ~60 KB of convs, and on the remote-TPU (axon) default backend a
+    jitted call would pay a ~25 ms dispatch round trip plus a remote
+    compile per audio-length bucket — per streaming chunk."""
+    mu = logmel.mean(axis=0, keepdims=True)
+    sd = logmel.std(axis=0, keepdims=True) + 1e-5
+    x = (logmel - mu) / sd
+    x = np.maximum(_conv1d_np(x, params["w1"], params["b1"]), 0.0)
+    x = np.maximum(_conv1d_np(x, params["w2"], params["b2"], dilation=2), 0.0)
+    x = _conv1d_np(x, params["w3"], params["b3"])
+    return 1.0 / (1.0 + np.exp(-x[:, 0]))
 
-    return prob
+
+def _log_mel_frames_np(audio, fb):
+    n = audio.shape[0] // WINDOW
+    frames = audio[: n * WINDOW].reshape(n, WINDOW)
+    win = np.hanning(WINDOW).astype(np.float32)
+    spec = np.abs(np.fft.rfft(frames * win, n=N_FFT)) ** 2
+    return np.log(spec @ fb.T + 1e-8).astype(np.float32)
 
 
 def vad_probabilities(audio: np.ndarray) -> Optional[np.ndarray]:
@@ -143,7 +165,6 @@ def vad_probabilities(audio: np.ndarray) -> Optional[np.ndarray]:
         return None
     if len(audio) < WINDOW:
         return np.zeros((0,), np.float32)
-    return np.asarray(
-        _jitted_prob()(params, np.asarray(audio, np.float32)),
-        np.float32,
-    )
+    logmel = _log_mel_frames_np(np.asarray(audio, np.float32),
+                                mel_filterbank())
+    return _forward_np(params, logmel).astype(np.float32)

@@ -116,17 +116,33 @@ def log_mel_spectrogram(audio, n_mels: int = 80, *, pad_to_chunk: bool = True):
     import jax
     import jax.numpy as jnp
 
-    audio = jnp.asarray(audio, dtype=jnp.float32)
-    squeeze = audio.ndim == 1
-    if squeeze:
-        audio = audio[None]
-
-    if pad_to_chunk:
-        n = audio.shape[-1]
+    if pad_to_chunk and not isinstance(audio, jnp.ndarray):
+        # pad/truncate HOST-side: eager device ops on a variable-length
+        # array compile a tiny program per distinct length — on the
+        # remote-TPU (axon) backend that is seconds per new streaming
+        # chunk size.  After this the device only ever sees (.., 480000).
+        a = np.asarray(audio, dtype=np.float32)
+        if a.ndim == 1:
+            a = a[None]
+        n = a.shape[-1]
         if n < N_SAMPLES:
-            audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - n)))
+            a = np.pad(a, ((0, 0), (0, N_SAMPLES - n)))
         elif n > N_SAMPLES:
-            audio = audio[..., :N_SAMPLES]
+            a = a[..., :N_SAMPLES]
+        squeeze = np.asarray(audio).ndim == 1
+        audio = jnp.asarray(a)
+    else:
+        audio = jnp.asarray(audio, dtype=jnp.float32)
+        squeeze = audio.ndim == 1
+        if squeeze:
+            audio = audio[None]
+
+        if pad_to_chunk:
+            n = audio.shape[-1]
+            if n < N_SAMPLES:
+                audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - n)))
+            elif n > N_SAMPLES:
+                audio = audio[..., :N_SAMPLES]
 
     n = audio.shape[-1]
     n_frames = n // HOP_LENGTH  # last frame dropped, as in HF (log_spec[:, :-1])

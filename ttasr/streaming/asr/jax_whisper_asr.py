@@ -80,6 +80,34 @@ class JaxWhisperASR(ASRInterface):
             "condition_on_previous_text": True,
             "initial_prompt": "繁體中文",
         }
+        # Partial-latency knob: cap the temperature-fallback ladder for
+        # streaming chunks (e.g. "0" = single rung).  A failed quality
+        # gate on a 1.5 s partial otherwise costs 6 rungs of decode
+        # before the next chunk can start — with real weights rung 0
+        # passes almost always, but a backlog death-spirals either way.
+        temps = os.environ.get("TTASR_STREAM_TEMPERATURES")
+        if temps:
+            self.default_transcribe_kwargs["temperatures"] = tuple(
+                float(t) for t in temps.split(",")
+            )
+
+    @staticmethod
+    def _token_budget(duration_s: float) -> int:
+        """Decode-token cap for a streaming chunk, BUCKETED so each value
+        maps to one compiled decode program (sample_len is a static jit
+        arg).  Whisper emits ~4 tokens per second of dense zh speech; the
+        buckets are ~10/s — generous headroom while keeping a 1.5-3.5 s
+        partial's worst-case decode ~5x cheaper than the 224-token
+        window budget (which a chunk's audio physically cannot fill).
+        Override off with TTASR_STREAM_TOKEN_CAP=0."""
+        cap = os.environ.get("TTASR_STREAM_TOKEN_CAP")
+        if cap is not None and int(cap) == 0:
+            return 224
+        if duration_s <= 5.0:
+            return 48
+        if duration_s <= 12.0:
+            return 96
+        return 224
 
     async def transcribe(self, client) -> Optional[dict]:
         try:
@@ -91,6 +119,7 @@ class JaxWhisperASR(ASRInterface):
             language = "zh"
             kwargs = dict(self.default_transcribe_kwargs)
             kwargs["language"] = language
+            kwargs["max_new_tokens"] = self._token_budget(len(audio) / 16000)
 
             segments, info = self.engine.transcribe(audio, **kwargs)
             segments = list(segments)
@@ -153,7 +182,9 @@ class JaxWhisperASR(ASRInterface):
             tok, language="zh", task="transcribe",
             initial_prompt_tokens=tok.encode(" 繁體中文"),
         )
-        result = await self.server.transcribe_window(audio, prompt)
+        result = await self.server.transcribe_window(
+            audio, prompt,
+            sample_len=self._token_budget(len(audio) / 16000))
         text_tokens = [t for t in result.tokens if not tok.is_timestamp(t)]
         if not text_tokens:
             return None
@@ -185,6 +216,7 @@ class JaxWhisperASR(ASRInterface):
             self.engine.transcribe(
                 dummy, language="zh", vad_filter=False, beam_size=5,
                 condition_on_previous_text=True, initial_prompt="繁體中文",
+                max_new_tokens=self._token_budget(1.5),
             )
             logger.info("warm-up complete in %.1fs", time.time() - t0)
         except Exception:
