@@ -396,3 +396,34 @@ def test_encoder_attention_merged_matches_reference():
     g, w = got[:, :t_real].astype(np.float32), want[:, :t_real].astype(np.float32)
     rel = np.abs(g - w).max() / (np.abs(w).max() + 1e-9)
     assert rel < 3e-2, rel
+
+
+def test_cross_attn_alignment_works_with_fused_params():
+    """decode_with_cross_attn (word-timestamp path) must consume the
+    fused int8 ``wqkv`` layout — fuse_qkv removes wq/wk/wv, which used
+    to KeyError and silently empty every int8 engine's word list."""
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.align import decode_with_cross_attn
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.model import init_params
+    from ttasr.ops.quant import fuse_qkv, quantize_params
+
+    cfg = WhisperConfig(
+        name="micro", vocab_size=256, num_mel_bins=80,
+        d_model=64, encoder_layers=1, encoder_heads=4,
+        decoder_layers=2, decoder_heads=4, ffn_dim=128,
+        max_source_positions=16,
+    )
+    qparams = quantize_params(init_params(cfg, seed=0))
+    fparams = fuse_qkv(qparams)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 256, (1, 6)), jnp.int32)
+    enc_out = jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)
+
+    x_ref, qk_ref = decode_with_cross_attn(qparams, cfg, tokens, enc_out)
+    x_fus, qk_fus = decode_with_cross_attn(fparams, cfg, tokens, enc_out)
+    np.testing.assert_allclose(np.asarray(x_fus), np.asarray(x_ref),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(qk_fus), np.asarray(qk_ref),
+                               rtol=2e-2, atol=2e-3)

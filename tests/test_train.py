@@ -221,15 +221,24 @@ def test_spec_augment_min_masks():
 
     from ttasr.train.spec_augment import SpecAugmentConfig, spec_augment
 
-    # prob 0 but min_masks 2 -> still masks 2 time spans per row
+    # HF gate (_mask_input_features): prob == 0 disables the axis even
+    # with min_masks > 0
     cfg = SpecAugmentConfig(mask_time_prob=0.0, mask_time_length=5,
                             mask_time_min_masks=2, mask_feature_prob=0.0,
                             mask_feature_min_masks=0)
     mel = np.ones((1, 4, 100), np.float32)
     out = np.asarray(spec_augment(jax.random.PRNGKey(1), mel,
                                   np.array([100], np.int32), cfg))
-    zero_cols = np.all(out[0] == 0.0, axis=0).sum()
-    assert 5 <= zero_cols <= 10  # 2 spans of 5, possibly overlapping
+    assert np.all(out == 1.0)
+
+    # prob > 0 with min_masks 2 -> at least 2 spans of 5 per row
+    cfg2 = SpecAugmentConfig(mask_time_prob=0.05, mask_time_length=5,
+                             mask_time_min_masks=2, mask_feature_prob=0.0,
+                             mask_feature_min_masks=0)
+    out2 = np.asarray(spec_augment(jax.random.PRNGKey(1), mel,
+                                   np.array([100], np.int32), cfg2))
+    zero_cols = np.all(out2[0] == 0.0, axis=0).sum()
+    assert zero_cols >= 5  # >= 2 spans of 5, possibly overlapping
 
 
 def test_train_step_with_spec_augment_and_bf16():

@@ -241,45 +241,55 @@ async def create_subtitle_task(request: web.Request) -> web.Response:
     temp_file_path = None
     task_dir = None
     task_id = None
-    async for part in reader:
-        if part.name == "audio" and temp_file_path is None:
-            filename = part.filename or ""
-            _, ext = os.path.splitext(filename)
-            if ext.lower() not in ALLOWED_EXTENSIONS:
-                return web.json_response(
-                    {"error": "不支援的檔案格式。支援的格式: "
-                              + ", ".join(sorted(ALLOWED_EXTENSIONS))},
-                    status=400,
-                )
-            tasks_root = os.path.join(BASE_DIR, "audio_files", "tasks")
-            os.makedirs(tasks_root, exist_ok=True)
-            task_dir = os.path.join(tasks_root, str(uuid.uuid4()))
-            os.makedirs(task_dir, exist_ok=True)
-            temp_file_path = os.path.join(task_dir, f"input{ext}")
-            with _tasks_conn() as conn:
-                cur = conn.execute(
-                    "INSERT INTO subtitle_tasks (status, progress,"
-                    " input_filename, temp_path, created_at, updated_at)"
-                    " VALUES (?, ?, ?, ?, ?, ?)",
-                    (STATUS_UPLOAD_IN_PROGRESS, 0, filename, temp_file_path,
-                     _now_iso(), _now_iso()),
-                )
-                task_id = cur.lastrowid
-                conn.commit()
-            try:
-                with open(temp_file_path, "wb") as out:
-                    while True:
-                        chunk = await part.read_chunk(UPLOAD_CHUNK_BYTES)
-                        if not chunk:
-                            break
-                        out.write(chunk)
-            except Exception as exc:
-                _update_task(task_id, status=STATUS_FAILED,
-                             error=f"upload failed: {exc}")
-                return web.json_response(
-                    {"error": f"檔案儲存失敗: {exc}"}, status=500)
-        elif part.name == "reference_text":
-            reference_text = (await part.text()) or None
+    try:
+        async for part in reader:
+            if part.name == "audio" and temp_file_path is None:
+                filename = part.filename or ""
+                _, ext = os.path.splitext(filename)
+                if ext.lower() not in ALLOWED_EXTENSIONS:
+                    return web.json_response(
+                        {"error": "不支援的檔案格式。支援的格式: "
+                                  + ", ".join(sorted(ALLOWED_EXTENSIONS))},
+                        status=400,
+                    )
+                tasks_root = os.path.join(BASE_DIR, "audio_files", "tasks")
+                os.makedirs(tasks_root, exist_ok=True)
+                task_dir = os.path.join(tasks_root, str(uuid.uuid4()))
+                os.makedirs(task_dir, exist_ok=True)
+                temp_file_path = os.path.join(task_dir, f"input{ext}")
+                with _tasks_conn() as conn:
+                    cur = conn.execute(
+                        "INSERT INTO subtitle_tasks (status, progress,"
+                        " input_filename, temp_path, created_at, updated_at)"
+                        " VALUES (?, ?, ?, ?, ?, ?)",
+                        (STATUS_UPLOAD_IN_PROGRESS, 0, filename, temp_file_path,
+                         _now_iso(), _now_iso()),
+                    )
+                    task_id = cur.lastrowid
+                    conn.commit()
+                try:
+                    with open(temp_file_path, "wb") as out:
+                        while True:
+                            chunk = await part.read_chunk(UPLOAD_CHUNK_BYTES)
+                            if not chunk:
+                                break
+                            out.write(chunk)
+                except Exception as exc:
+                    _update_task(task_id, status=STATUS_FAILED,
+                                 error=f"upload failed: {exc}")
+                    return web.json_response(
+                        {"error": f"檔案儲存失敗: {exc}"}, status=500)
+            elif part.name == "reference_text":
+                reference_text = (await part.text()) or None
+    except Exception as exc:
+        # a disconnect after the audio part (e.g. while the
+        # reference_text part or closing boundary streams) must
+        # not strand the row in STATUS_UPLOAD_IN_PROGRESS forever
+        if task_id is not None:
+            _update_task(task_id, status=STATUS_FAILED,
+                         error=f"upload aborted: {exc}")
+        return web.json_response({"error": f"上傳中斷: {exc}"},
+                                 status=400)
 
     if temp_file_path is None:
         return web.json_response(

@@ -35,6 +35,7 @@ _WEIGHTS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "data", "vad_weights.npz")
 
 
+@functools.lru_cache(maxsize=1)
 def mel_filterbank(n_mels: int = N_MELS, n_fft: int = N_FFT,
                    sr: int = SAMPLE_RATE) -> np.ndarray:
     """Slaney-style mel filterbank (n_mels, n_fft//2+1)."""

@@ -109,10 +109,17 @@ class BatchServer:
         self.slots = slots
         self.linger_s = linger_ms / 1000.0
         self.ti = engine.ti
+        kv_int8 = getattr(engine, "kv_cache_int8", False)
         self.opts = DecodingOptions(
             beam_size=beam_size, sample_len=sample_len,
             without_timestamps=without_timestamps,
-            kv_int8=getattr(engine, "kv_cache_int8", False),
+            kv_int8=kv_int8,
+            # mirror transcriber._decode_window: int8 engines quantize
+            # the cross-KV too, so the batch path shares the SAME
+            # compiled program as every other decode path (a second
+            # variant costs 2x cross-KV HBM and a 20 s-5 min compile)
+            cross_kv_int8=kv_int8 and getattr(
+                engine, "compute_type", "") == "int8",
         )
         self._queue: "asyncio.Queue[WindowRequest]" = None
         self._worker_task = None

@@ -83,6 +83,25 @@ class TranscribeOptions:
     kv_cache_int8: Optional[bool] = None  # None -> engine default
 
 
+def _parse_transcribe_kwargs(kwargs: dict) -> "TranscribeOptions":
+    """faster-whisper-style kwargs -> TranscribeOptions: alias mapping,
+    unknown-field tolerance, scalar-temperature normalization.  Shared
+    by transcribe() and transcribe_with_server() so the two paths stay
+    decode-equivalent."""
+    known = {f.name for f in dataclasses.fields(TranscribeOptions)}
+    fw_aliases = {"temperature": "temperatures"}
+    clean_kwargs = {}
+    for k, v in kwargs.items():
+        k = fw_aliases.get(k, k)
+        if k in known:
+            clean_kwargs[k] = v
+    opts = TranscribeOptions(**clean_kwargs)
+    if isinstance(opts.temperatures, (int, float)):
+        opts = dataclasses.replace(
+            opts, temperatures=(float(opts.temperatures),))
+    return opts
+
+
 class WhisperEngine:
     """JAX Whisper inference engine with a faster-whisper-compatible API."""
 
@@ -255,16 +274,7 @@ class WhisperEngine:
     def transcribe(self, audio: Union[str, np.ndarray], **kwargs
                    ) -> Tuple[List[Segment], TranscriptionInfo]:
         """Transcribe audio; returns (segments, info) like WhisperModel."""
-        known = {f.name for f in dataclasses.fields(TranscribeOptions)}
-        fw_aliases = {"temperature": "temperatures"}
-        clean_kwargs = {}
-        for k, v in kwargs.items():
-            k = fw_aliases.get(k, k)
-            if k in known:
-                clean_kwargs[k] = v
-        opts = TranscribeOptions(**clean_kwargs)
-        if isinstance(opts.temperatures, (int, float)):
-            opts = dataclasses.replace(opts, temperatures=(float(opts.temperatures),))
+        opts = _parse_transcribe_kwargs(kwargs)
 
         if isinstance(audio, (str, bytes)):
             audio, _ = load_audio(audio, sr=SAMPLE_RATE)
@@ -381,17 +391,7 @@ class WhisperEngine:
         parallelism comes from running many files at once (see
         :func:`ttasr.engine.serving.transcribe_files`).
         """
-        known = {f.name for f in dataclasses.fields(TranscribeOptions)}
-        fw_aliases = {"temperature": "temperatures"}
-        clean_kwargs = {}
-        for k, v in kwargs.items():
-            k = fw_aliases.get(k, k)
-            if k in known:
-                clean_kwargs[k] = v
-        opts = TranscribeOptions(**clean_kwargs)
-        if isinstance(opts.temperatures, (int, float)):
-            opts = dataclasses.replace(
-                opts, temperatures=(float(opts.temperatures),))
+        opts = _parse_transcribe_kwargs(kwargs)
         if isinstance(audio, (str, bytes)):
             audio, _ = load_audio(audio, sr=SAMPLE_RATE)
         audio = np.asarray(audio, dtype=np.float32)

@@ -48,18 +48,14 @@ def decode_with_cross_attn(params, cfg: WhisperConfig, tokens, enc_out):
     causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
 
     def block(x, blk):
+        # _qkv_proj consumes the fused int8 ``wqkv`` leaf when present
+        # (fuse_qkv removes wq/wk/wv — the int8 engine's params)
+        from ttasr.models.whisper.decode import _qkv_proj
+
+        h1 = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        q1, k1, v1 = _qkv_proj(h1, blk, cfg)
         x = x + _proj(
-            _merge_heads(
-                _attention(
-                    _split_heads(_proj(_ln(x, blk["ln1_s"], blk["ln1_b"]),
-                                       blk["wq"], blk["bq"]), cfg.decoder_heads),
-                    _split_heads(_proj(_ln(x, blk["ln1_s"], blk["ln1_b"]),
-                                       blk["wk"]), cfg.decoder_heads),
-                    _split_heads(_proj(_ln(x, blk["ln1_s"], blk["ln1_b"]),
-                                       blk["wv"], blk["bv"]), cfg.decoder_heads),
-                    causal,
-                )
-            ),
+            _merge_heads(_attention(q1, k1, v1, causal)),
             blk["wo"], blk["bo"],
         )
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])

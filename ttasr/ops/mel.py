@@ -122,14 +122,14 @@ def log_mel_spectrogram(audio, n_mels: int = 80, *, pad_to_chunk: bool = True):
         # remote-TPU (axon) backend that is seconds per new streaming
         # chunk size.  After this the device only ever sees (.., 480000).
         a = np.asarray(audio, dtype=np.float32)
-        if a.ndim == 1:
+        squeeze = a.ndim == 1
+        if squeeze:
             a = a[None]
         n = a.shape[-1]
         if n < N_SAMPLES:
             a = np.pad(a, ((0, 0), (0, N_SAMPLES - n)))
         elif n > N_SAMPLES:
             a = a[..., :N_SAMPLES]
-        squeeze = np.asarray(audio).ndim == 1
         audio = jnp.asarray(a)
     else:
         audio = jnp.asarray(audio, dtype=jnp.float32)

@@ -99,10 +99,12 @@ class JaxWhisperASR(ASRInterface):
         buckets are ~10/s — generous headroom while keeping a 1.5-3.5 s
         partial's worst-case decode ~5x cheaper than the 224-token
         window budget (which a chunk's audio physically cannot fill).
-        Override off with TTASR_STREAM_TOKEN_CAP=0."""
+        TTASR_STREAM_TOKEN_CAP=N forces a single fixed budget of N
+        tokens (0 = the full 224-token window budget)."""
         cap = os.environ.get("TTASR_STREAM_TOKEN_CAP")
-        if cap is not None and int(cap) == 0:
-            return 224
+        if cap is not None:
+            n = int(cap)
+            return 224 if n <= 0 else min(n, 224)
         if duration_s <= 5.0:
             return 48
         if duration_s <= 12.0:

@@ -74,14 +74,16 @@ def spec_augment(rng, mel, num_frames, cfg: SpecAugmentConfig):
     """
     b, n_mels, t = mel.shape
     rng_t, rng_f = jax.random.split(rng)
-    if cfg.mask_time_prob > 0.0 or cfg.mask_time_min_masks > 0:
+    # HF gates purely on prob > 0 (_mask_input_features): prob == 0
+    # disables the axis regardless of min_masks
+    if cfg.mask_time_prob > 0.0:
         tmask = _axis_masks(
             rng_t, b, t, num_frames,
             prob=cfg.mask_time_prob, span=cfg.mask_time_length,
             min_masks=cfg.mask_time_min_masks,
         )
         mel = jnp.where(tmask[:, None, :], jnp.zeros((), mel.dtype), mel)
-    if cfg.mask_feature_prob > 0.0 or cfg.mask_feature_min_masks > 0:
+    if cfg.mask_feature_prob > 0.0:
         fmask = _axis_masks(
             rng_f, b, n_mels, jnp.full((b,), n_mels, jnp.int32),
             prob=cfg.mask_feature_prob, span=cfg.mask_feature_length,
