@@ -130,6 +130,7 @@ async def run(args) -> dict:
     os.environ["TTASR_BATCH_SLOTS"] = str(args.slots)
     os.environ["TTASR_MODEL_COMPUTE_TYPE"] = args.compute
     os.environ.pop("FASTAPI_SKIP_INIT", None)
+    os.environ["FASTAPI_WARMUP"] = "1"   # service warms both budget buckets
 
     service = StreamingService()
     app, _ = make_streaming_app(service)

@@ -102,9 +102,14 @@ class StreamingService:
 
         if self.asr_pipeline is not None and warmup:
             try:
-                await asyncio.get_running_loop().run_in_executor(
-                    None, self.asr_pipeline.warm_up
-                )
+                if hasattr(self.asr_pipeline, "warm_up_async"):
+                    # warms both token-budget buckets through the same
+                    # (possibly batched) path live chunks take
+                    await self.asr_pipeline.warm_up_async()
+                else:
+                    await asyncio.get_running_loop().run_in_executor(
+                        None, self.asr_pipeline.warm_up
+                    )
             except Exception:
                 logger.exception("warm-up failed")
             finally:

@@ -246,8 +246,7 @@ class BatchServer:
         for _ in range(n, self.slots):
             prompts.append(filler)
 
-        mel = log_mel_spectrogram(audio, n_mels=engine.cfg.num_mel_bins)
-        enc_out = encode(engine.params, engine.cfg, mel)
+        enc_out = engine.encode_windows(audio)
         prompt, pad = pad_prompts(prompts, self.ti.eot)
         rng = jax.random.PRNGKey(self._steps)
         if is_beam:

@@ -127,6 +127,18 @@ class WhisperEngine:
             from ttasr.ops.quant import fuse_qkv, quantize_params
 
             self.params = fuse_qkv(quantize_params(self.params))
+        import jax as _jax
+
+        _cfg = self.cfg
+
+        def _mel_encode(params, audio):
+            mel = log_mel_spectrogram(audio, n_mels=_cfg.num_mel_bins)
+            return encode(params, _cfg, mel)
+
+        # ONE jitted program per batch size: calling the 32-layer encoder
+        # eagerly costs hundreds of per-op dispatches through the axon
+        # relay (~6 s per batch measured) — only whole-graph jit is fast
+        self._mel_encode = _jax.jit(_mel_encode)
         self.tokenizer = tokenizer or load_tokenizer(
             model_path_or_name if isinstance(model_path_or_name, str) else None
         )
@@ -134,6 +146,24 @@ class WhisperEngine:
             self.tokenizer, n_vocab=self.cfg.vocab_size
         )
         self._rng_counter = 0
+
+
+    def encode_windows(self, audio: np.ndarray):
+        """(B, <=N_SAMPLES) or (<=N_SAMPLES,) f32 audio -> encoder states.
+
+        Pads host-side to the fixed 30 s window, then runs mel + encoder
+        as one jitted program (eager per-op dispatch through the remote
+        relay measured ~6 s per call; jitted it is ~0.1 s/window)."""
+        a = np.asarray(audio, np.float32)
+        squeeze = a.ndim == 1
+        if squeeze:
+            a = a[None]
+        if a.shape[-1] < N_SAMPLES:
+            a = np.pad(a, ((0, 0), (0, N_SAMPLES - a.shape[-1])))
+        elif a.shape[-1] > N_SAMPLES:
+            a = a[..., :N_SAMPLES]
+        out = self._mel_encode(self.params, a)
+        return out[0] if squeeze else out
 
     # -- low-level window decode ------------------------------------------
 
@@ -253,8 +283,7 @@ class WhisperEngine:
         if isinstance(audio, (str, bytes)):
             audio, _ = load_audio(audio, sr=SAMPLE_RATE)
         audio = np.asarray(audio, dtype=np.float32)[:N_SAMPLES]
-        mel = log_mel_spectrogram(audio, n_mels=self.cfg.num_mel_bins)
-        enc_out = encode(self.params, self.cfg, mel[None])
+        enc_out = self.encode_windows(audio[None])
 
         prompt, pad = pad_prompts([[self.tokenizer.sot]], self.ti.eot, width=16)
         cache = init_cache(self.params, self.cfg, enc_out, max_len=17)
@@ -524,8 +553,7 @@ class WhisperEngine:
             segment_frames = min(N_FRAMES, content_frames - seek)
             segment_duration = segment_frames * HOP_LENGTH / SAMPLE_RATE
 
-            mel = log_mel_spectrogram(window, n_mels=self.cfg.num_mel_bins)
-            enc_out = encode(self.params, self.cfg, mel[None])
+            enc_out = self.encode_windows(window[None])
 
             previous = all_tokens[prompt_reset_since:] if opts.condition_on_previous_text else []
             prompt_ids = build_prompt(

@@ -972,14 +972,18 @@ def pad_prompts(prompts: Sequence[Sequence[int]], pad_value: int,
                 width: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """Left-pad prompts to a fixed-width buffer (default MAX_PROMPT).
 
-    Short prompts (no previous-text conditioning) can use a small bucket
-    (e.g. 16) so the prefill pass does no wasted work; two buckets means
-    at most two compiled prefill variants.
+    Short prompts (no previous-text conditioning) use small buckets
+    (16/32) so the prefill pass does no wasted work; three buckets means
+    at most three compiled prefill variants.  The 32 bucket matters for
+    streaming: an ``initial_prompt`` like "繁體中文" plus specials is
+    ~17 tokens, which previously fell through to the full 256-wide
+    conditioned-prompt prefill on EVERY chunk.
     """
     b = len(prompts)
     if width is None:
         longest = max((len(p) for p in prompts), default=0)
-        width = 16 if longest <= 16 else MAX_PROMPT
+        width = (16 if longest <= 16
+                 else 32 if longest <= 32 else MAX_PROMPT)
     out = np.full((b, width), pad_value, np.int32)
     pad_len = np.zeros((b,), np.int32)
     for i, p in enumerate(prompts):

@@ -208,6 +208,39 @@ class JaxWhisperASR(ASRInterface):
             "words": [],
         }
 
+    async def warm_up_async(self) -> None:
+        """Warm BOTH streaming token-budget buckets through the same
+        path live chunks take (the batched server when enabled) — a
+        compile landing on a live stream stalls it for minutes."""
+        import asyncio
+
+        from ttasr.models.whisper.decode import build_prompt
+
+        logger.info("warming up ASR pipeline (compiling decode graphs)...")
+        t0 = time.time()
+        tok = self.engine.tokenizer
+        prompt = build_prompt(
+            tok, language="zh", task="transcribe",
+            initial_prompt_tokens=tok.encode(" 繁體中文"),
+        )
+        for seconds in (1.5, 6.0):
+            audio = np.zeros(int(16000 * seconds), np.float32)
+            budget = self._token_budget(seconds)
+            try:
+                if self.server is not None:
+                    await self.server.transcribe_window(
+                        audio, prompt, sample_len=budget)
+                else:
+                    loop = asyncio.get_running_loop()
+                    await loop.run_in_executor(
+                        None, lambda a=audio, b=budget: self.engine.transcribe(
+                            a, language="zh", vad_filter=False, beam_size=5,
+                            condition_on_previous_text=True,
+                            initial_prompt="繁體中文", max_new_tokens=b))
+            except Exception:
+                logger.exception("warm-up decode failed (budget %d)", budget)
+        logger.info("warm-up complete in %.1fs", time.time() - t0)
+
     def warm_up(self) -> None:
         """Compile the decode path on a dummy 1.5 s chunk so the first
         real request is fast (replaces warm_up.wav — reference :269-303)."""
