@@ -76,11 +76,19 @@ async def _stream_one(client, url: str, seed: int, seconds: float,
                 if raw.type != 1:   # not TEXT
                     break
                 msg = json.loads(raw.data)
-                if msg.get("code") == 200:
+                if msg.get("code") == 200 and msg.get("result"):
                     now = time.perf_counter()
-                    if boundary_times:
-                        latencies.append(now - boundary_times[min(
-                            served, len(boundary_times) - 1)])
+                    # partial latency = arrival - wall time at which the
+                    # partial's last audio sample was LIVE (endTime is in
+                    # the session audio timeline; sends are real-time
+                    # paced from t0).  Matching partial k to chunk
+                    # boundary k instead overstates whenever the gating
+                    # cadence (silence / 2 s force) emits fewer partials
+                    # than chunk boundaries.
+                    end_t = msg["result"][-1].get("endTime")
+                    if end_t is not None and boundary_times:
+                        live_at = t0 + float(end_t)
+                        latencies.append(now - live_at)
                         if first:
                             firsts.append(now - boundary_times[0])
                             first = False
@@ -89,10 +97,10 @@ async def _stream_one(client, url: str, seed: int, seconds: float,
                     break
             return served
 
-        recv_task = asyncio.create_task(recv())
         sent = 0
         next_boundary = bytes_per_chunk
         t0 = time.perf_counter()
+        recv_task = asyncio.create_task(recv())
         while sent < len(pcm):
             chunk = pcm[sent : sent + send_bytes]
             await ws.send_bytes(chunk)
@@ -165,11 +173,12 @@ async def run(args) -> dict:
         raise RuntimeError("no partials received")
     p50 = float(np.percentile(lat, 50))
     p95 = float(np.percentile(lat, 95))
+    raw = [round(float(x), 3) for x in latencies[:16]]
     return {
         "metric": "streaming_p50_partial_latency",
         "value": round(p50, 4),
         "unit": "s",
-        "vs_baseline": round(CHUNK_S / p50, 2),
+        "vs_baseline": round(CHUNK_S / max(p50, 1e-3), 2),
         "p95_s": round(p95, 4),
         "streams": args.streams,
         "partials": int(sum(counts)),
@@ -177,6 +186,7 @@ async def run(args) -> dict:
         "model": args.model,
         "slots": args.slots,
         "wall_s": round(elapsed, 2),
+        "raw_first16": raw,
     }
 
 

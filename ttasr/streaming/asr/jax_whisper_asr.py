@@ -148,11 +148,10 @@ class JaxWhisperASR(ASRInterface):
             for seg in segments:
                 if getattr(seg, "words", None):
                     flattened_words.extend(seg.words)
-            duration = None
-            if flattened_words:
-                duration = flattened_words[-1].end
-            elif segments:
-                duration = getattr(segments[-1], "end", None)
+            # faster-whisper parity: info.duration is the AUDIO duration
+            # of the transcribed buffer (reference faster_whisper_asr.py
+            # returns it as "duration"), not the last decoded timestamp
+            duration = len(audio) / 16000.0
 
             return {
                 "language": getattr(info, "language", None),
@@ -195,10 +194,7 @@ class JaxWhisperASR(ASRInterface):
             return None
         filtered = filter_text(text)
         text = filtered if filtered is not None else text
-        ts = [t for t in result.tokens if tok.is_timestamp(t)]
-        duration = (
-            tok.timestamp_to_seconds(ts[-1]) if ts else len(audio) / 16000.0
-        )
+        duration = len(audio) / 16000.0  # faster-whisper info.duration
         return {
             "language": "zh",
             "language_probability": None,

@@ -69,20 +69,35 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
             self.client.scratch_buffer += self.client.buffer
             self.client.buffer.clear()
             self.processing_flag = True
+            # sample-accurate session time of the scratch span's start:
+            # total received minus what scratch now holds (wall-clock
+            # deltas drift past the audio timeline and truncate)
+            rate = self.client.sampling_rate * self.client.samples_width
+            scratch_start_sec = (
+                self.client.total_samples / self.client.sampling_rate
+                - len(self.client.scratch_buffer) / rate
+                + float(self.client.last_start_time)
+            )
             asyncio.create_task(
                 self.process_audio_async(
                     websocket, vad_pipeline, asr_pipeline,
                     self.start_time, self.client.last_start_time,
+                    scratch_start_sec,
                 )
             )
             self.start_time = None
 
     async def process_audio_async(self, websocket, vad_pipeline, asr_pipeline,
-                                  start_time, default_start_time):
+                                  start_time, default_start_time,
+                                  scratch_start_sec=None):
         try:
-            start_transcribe_time = (
-                int(start_time - self.client.connect_time) + float(default_start_time)
-            )
+            if scratch_start_sec is not None:
+                start_transcribe_time = max(scratch_start_sec, 0.0)
+            else:
+                start_transcribe_time = (
+                    int(start_time - self.client.connect_time)
+                    + float(default_start_time)
+                )
             vad_results = await vad_pipeline.detect_activity(self.client)
             if len(vad_results) == 0:
                 self.client.scratch_buffer.clear()
