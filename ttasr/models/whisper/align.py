@@ -13,6 +13,7 @@ no-leading-space rule).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -131,6 +132,18 @@ class TokenTiming:
     probability: float
 
 
+_QK_BUCKETS = (32, 64, 128, 256, 448)
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_decode_qk(cfg: WhisperConfig):
+    import jax
+
+    return jax.jit(
+        lambda params, tokens, enc_out: decode_with_cross_attn(
+            params, cfg, tokens, enc_out))
+
+
 def align_tokens(params, cfg: WhisperConfig, tokenizer, text_tokens: List[int],
                  enc_out, *, prompt_len: int = 0, num_frames: int = 1500,
                  medfilt_width: int = 7, qk_scale: float = 1.0,
@@ -140,9 +153,16 @@ def align_tokens(params, cfg: WhisperConfig, tokenizer, text_tokens: List[int],
 
     sot_seq = tokenizer.sot_sequence("zh", "transcribe", predict_timestamps=False)
     tokens = sot_seq + list(text_tokens) + [tokenizer.eot]
-    arr = np.asarray([tokens], np.int32)
-    hidden, cross_qk = decode_with_cross_attn(params, cfg, arr, enc_out)
-    qk = np.asarray(cross_qk)  # (L, B, H, T, S)
+    # bucket-pad + jit: an eager 32-layer teacher-forced pass costs
+    # hundreds of per-op dispatches through the remote relay (seconds
+    # per window), and jitting without buckets would compile per token
+    # count.  Pad rows are causal-masked history for nobody we read.
+    real_t = len(tokens)
+    width = next((b for b in _QK_BUCKETS if b >= real_t), real_t)
+    arr = np.full((1, width), tokenizer.eot, np.int32)
+    arr[0, :real_t] = tokens
+    _hidden, cross_qk = _jitted_decode_qk(cfg)(params, arr, enc_out)
+    qk = np.asarray(cross_qk)[:, :, :, :real_t]  # (L, B, H, T, S)
 
     n_layers = qk.shape[0]
     use_layers = list(range(n_layers // 2, n_layers)) or [n_layers - 1]
