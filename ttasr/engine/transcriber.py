@@ -275,21 +275,30 @@ class WhisperEngine:
         Returns (language, probability, all (language, prob) sorted).
         """
         import jax
-        import jax.numpy as jnp
-
-        from ttasr.models.whisper.decode import _logits_at, _prefill
-        from ttasr.models.whisper.model import init_cache
 
         if isinstance(audio, (str, bytes)):
             audio, _ = load_audio(audio, sr=SAMPLE_RATE)
         audio = np.asarray(audio, dtype=np.float32)[:N_SAMPLES]
         enc_out = self.encode_windows(audio[None])
 
+        if not hasattr(self, "_lang_logits_fn"):
+            from ttasr.models.whisper.decode import _logits_at, _prefill
+            from ttasr.models.whisper.model import init_cache
+
+            _cfg = self.cfg
+
+            # one jitted program: eager prefill = a 32-layer teacher-
+            # forced pass as hundreds of per-op relay dispatches
+            def _lang_logits(params, enc_out, prompt, pad):
+                cache = init_cache(params, _cfg, enc_out, max_len=17)
+                hidden, _ = _prefill(params, _cfg, prompt, pad, cache)
+                return _logits_at(params, hidden[:, -1])
+
+            self._lang_logits_fn = jax.jit(_lang_logits)
+
         prompt, pad = pad_prompts([[self.tokenizer.sot]], self.ti.eot, width=16)
-        cache = init_cache(self.params, self.cfg, enc_out, max_len=17)
-        hidden, _ = _prefill(self.params, self.cfg, jnp.asarray(prompt),
-                             jnp.asarray(pad), cache)
-        logits = np.asarray(_logits_at(self.params, hidden[:, -1]))[0]
+        logits = np.asarray(
+            self._lang_logits_fn(self.params, enc_out, prompt, pad))[0]
 
         lang_ids = self.tokenizer.language_ids
         ids = np.asarray(list(lang_ids.values()))
