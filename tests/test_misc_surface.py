@@ -210,3 +210,70 @@ def test_parity_harness_self_check():
     assert proc.returncode == 0, proc.stderr
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["check"] == "ok"
+
+
+def test_streaming_token_budget_buckets(monkeypatch):
+    """Bucketed decode-token budget for streaming chunks + the
+    TTASR_STREAM_TOKEN_CAP override semantics."""
+    from ttasr.streaming.asr.jax_whisper_asr import JaxWhisperASR
+
+    budget = JaxWhisperASR._token_budget
+    monkeypatch.delenv("TTASR_STREAM_TOKEN_CAP", raising=False)
+    assert budget(1.5) == 48
+    assert budget(5.0) == 48
+    assert budget(6.0) == 96
+    assert budget(20.0) == 224
+    monkeypatch.setenv("TTASR_STREAM_TOKEN_CAP", "0")
+    assert budget(1.5) == 224  # 0 = full window budget
+    monkeypatch.setenv("TTASR_STREAM_TOKEN_CAP", "64")
+    assert budget(1.5) == 64   # fixed cap
+    assert budget(20.0) == 64
+    monkeypatch.setenv("TTASR_STREAM_TOKEN_CAP", "999")
+    assert budget(1.5) == 224  # clamped to the window budget
+
+
+def test_scratch_timestamps_are_sample_accurate():
+    """startTime/endTime derive from the audio sample count, not
+    wall-clock deltas (which drift past the audio timeline)."""
+    import asyncio
+
+    from ttasr.streaming.buffering_strategy.buffering_strategies import (
+        SilenceAtEndOfChunk,
+    )
+    from ttasr.streaming.client import Client
+    from ttasr.streaming.vad.simple_vad import SimpleVAD
+
+    client = Client("c1", 16000, 2, "job", 0.0, [])
+    strategy = SilenceAtEndOfChunk(client, chunk_length_seconds=1.0,
+                                   chunk_offset_seconds=0.1)
+    client.buffering_strategy = strategy
+
+    class FixedASR:
+        async def transcribe(self, client):
+            n = len(client.scratch_buffer) // 2
+            return {"text": "你好", "duration": n / 16000.0, "words": []}
+
+    class FakeWS:
+        def __init__(self):
+            self.sent = []
+
+        async def send_str(self, text):
+            self.sent.append(json.loads(text))
+
+    ws = FakeWS()
+    vad = SimpleVAD(min_duration=0.01)
+    asr = FixedASR()
+
+    async def run():
+        # 2.5 s of audio in one shot -> buffer > 1 s chunk -> scratch
+        client.append_audio_data(b"\x00\x01" * (2 * 16000 + 8000))
+        client.process_audio(ws, vad, asr)
+        await asyncio.sleep(0.2)
+
+    asyncio.run(run())
+    finals = [r for m in ws.sent for r in m.get("result", [])]
+    assert finals, ws.sent
+    seg = finals[0]
+    # scratch held the full 2.5 s starting at session time 0
+    assert seg["startTime"] == 0.0
+    assert abs(seg["endTime"] - 2.5) < 1e-3

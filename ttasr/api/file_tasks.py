@@ -66,8 +66,12 @@ def load_model() -> bool:
             from ttasr.engine.transcriber import WhisperEngine
 
             models_path = os.getenv("TTASR_MODEL_PATH", "models")
-            logger.info("loading model: %s", models_path)
-            whisper_engine = WhisperEngine(models_path, compute_type="bfloat16")
+            # int8 matches the reference task API's compute choice
+            # (file_asr.py:188 loads CPU int8) and is the fast fused-
+            # kernel path here; override via TTASR_MODEL_COMPUTE_TYPE
+            compute = os.getenv("TTASR_MODEL_COMPUTE_TYPE", "int8")
+            logger.info("loading model: %s (%s)", models_path, compute)
+            whisper_engine = WhisperEngine(models_path, compute_type=compute)
         except Exception:
             logger.exception("model load failed")
             return False
