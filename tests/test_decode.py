@@ -332,3 +332,37 @@ def test_finished_set_insert_vectorization():
         np.testing.assert_array_equal(vl, fl)
         np.testing.assert_array_equal(vp, fp)
         np.testing.assert_array_equal(vc, fc)
+
+
+def test_pad_prompts_bucket_schedule():
+    """Conditioned-prompt buckets (VERDICT round-2 #7): the steady-state
+    condition_on_previous_text prompt (<=131 tokens) lands in the 144
+    bucket, not the full 256-wide prefill."""
+    for n, want in [(3, 16), (17, 32), (40, 64), (131, 144), (150, 256)]:
+        prompt, pad = pad_prompts([[1] * n], 0)
+        assert prompt.shape == (1, want), (n, prompt.shape)
+        assert pad[0] == want - n
+
+
+def test_conditioned_bucket_width_invariance(model, enc_out):
+    """A conditioned prompt decoded in the 144 bucket must emit the same
+    tokens as in the 256 buffer (left-pad masking + position shift)."""
+    _, params, cfg = model
+    _, enc = enc_out
+    import jax
+
+    prev = TOK.encode("previous window text " * 10)
+    prompt_ids = build_prompt(TOK, language="zh", previous_tokens=prev)
+    assert 64 < len(prompt_ids) <= 144
+    opts = DecodingOptions(sample_len=12)
+    p1, pad1 = pad_prompts([prompt_ids], TOK.eot)           # 144 bucket
+    p2, pad2 = pad_prompts([prompt_ids], TOK.eot, width=256)
+    assert p1.shape[1] == 144 and p2.shape[1] == 256
+    o1 = greedy_decode(params, cfg, enc, p1, pad1, jax.random.PRNGKey(0),
+                       opts=opts, ti=_ti())
+    o2 = greedy_decode(params, cfg, enc, p2, pad2, jax.random.PRNGKey(0),
+                       opts=opts, ti=_ti())
+    n1, n2 = int(o1["lengths"][0]), int(o2["lengths"][0])
+    assert n1 == n2
+    assert (np.asarray(o1["tokens"])[0, :n1].tolist()
+            == np.asarray(o2["tokens"])[0, :n2].tolist())

@@ -1,0 +1,135 @@
+"""Per-stage encoder microprofile on the real TPU.
+
+Breaks the large-v3 encoder pass into stages (conv stem, qkv projections,
+merged attention kernel, out-proj, MLP, layernorms) and times each as a
+32-layer fori_loop so the axon relay's ~25 ms dispatch cost amortizes
+(see tools/profile_decode.py).  Guides the fused-encoder-block work
+(VERDICT round-2 #2).
+
+Usage: python tools/profile_encoder_stages.py [--batch 8] [--compute int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ttasr-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--compute", default="int8", choices=["int8", "bfloat16"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import get_config
+    from ttasr.models.whisper.model import (
+        _ln, _mlp, _proj, encode, init_params,
+    )
+    from ttasr.ops.encoder_attention_pallas import (
+        TQ_MERGED, encoder_attention_merged,
+    )
+
+    cfg = get_config("large-v3")
+    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    if args.compute == "int8":
+        from ttasr.ops.quant import quantize_params
+
+        params = quantize_params(params)
+    enc = params["encoder"]
+    rng = np.random.default_rng(0)
+    b, t, d = args.batch, 1500, cfg.d_model
+    t_pad = -(-t // TQ_MERGED) * TQ_MERGED
+    mel = jnp.asarray(rng.standard_normal(
+        (b, cfg.num_mel_bins, 3000)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal(
+        (b, t_pad, d)).astype(np.float32)).astype(jnp.bfloat16)
+    n_layers = cfg.encoder_layers
+    dh = d // cfg.encoder_heads
+
+    def blk0(name):
+        w = enc["blocks"][name]
+        if isinstance(w, dict):
+            return {"q": w["q"][0], "s": w["s"][0]}
+        return w[0]
+
+    def timed(name, fn, *operands):
+        @jax.jit
+        def run(*ops):
+            def body(i, carry):
+                out = fn(*carry[1:])
+                # serialize iterations with a scalar data dependence
+                x0 = carry[0] * (1.0 + 0.0 * out.sum().astype(jnp.float32))
+                return (x0,) + carry[1:]
+
+            return jax.lax.fori_loop(
+                0, args.iters * n_layers, body,
+                (jnp.float32(1.0),) + ops)[0]
+
+        out = run(*operands)
+        np.asarray(out)
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            np.asarray(run(*operands))
+            times.append(time.perf_counter() - t0)
+        per_pass = min(times) / args.iters
+        print(json.dumps({"stage": name,
+                          "ms_per_pass_32layers": round(per_pass * 1e3, 2),
+                          "batch": b, "compute": args.compute}))
+        return per_pass
+
+    # full pass reference
+    def full(params, mel):
+        return encode(params, cfg, mel)
+
+    @jax.jit
+    def full_loop(params, mel):
+        def body(i, m):
+            out = encode(params, cfg, m[..., :3000])
+            return m * (1.0 + 0.0 * out.sum().astype(m.dtype))
+
+        return jax.lax.fori_loop(0, args.iters, body, mel)
+
+    np.asarray(full_loop(params, mel))
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        np.asarray(full_loop(params, mel))
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({"stage": "FULL encoder pass",
+                      "ms_per_pass": round(min(times) / args.iters * 1e3, 2),
+                      "batch": b, "compute": args.compute}))
+
+    # stages (one layer's weights, looped 32x)
+    timed("ln1", lambda x: _ln(x, blk0("ln1_s"), blk0("ln1_b")), x)
+    timed("qkv_proj (3 matmuls)", lambda x: (
+        _proj(x, blk0("wq"), blk0("bq"))
+        + _proj(x, blk0("wk"))
+        + _proj(x, blk0("wv"), blk0("bv"))), x)
+    q = (x * (dh ** -0.5)).astype(jnp.bfloat16)
+    timed("merged attention kernel",
+          lambda q, k, v: encoder_attention_merged(q, k, v, t),
+          q, x, x)
+    timed("out_proj", lambda x: _proj(x, blk0("wo"), blk0("bo")), x)
+    timed("mlp (ln2+w1+gelu+w2)", lambda x: _mlp(
+        _ln(x, blk0("ln2_s"), blk0("ln2_b")),
+        {"w1": blk0("w1"), "b1": blk0("b1"),
+         "w2": blk0("w2"), "b2": blk0("b2")}), x)
+
+
+if __name__ == "__main__":
+    main()

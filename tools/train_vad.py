@@ -82,11 +82,86 @@ def synth_speech(rng, seconds=3.0):
     return out.astype(np.float32), labels
 
 
-def synth_negative(rng, seconds=3.0):
+def _reverb(x, rng, rt60=None):
+    """Convolve with a synthetic exponentially-decaying noise IR."""
+    from scipy.signal import fftconvolve
+
+    rt60 = rt60 if rt60 is not None else rng.uniform(0.15, 0.6)
+    ir_len = int(SR * rt60)
+    ir = rng.standard_normal(ir_len) * np.exp(
+        -6.9 * np.arange(ir_len) / ir_len)  # -60 dB at rt60
+    ir[0] = 1.0  # direct path
+    out = fftconvolve(x, ir)[: len(x)]
+    return out / (np.max(np.abs(out)) + 1e-9) * np.max(np.abs(x))
+
+
+def synth_babble(rng, seconds=3.0, n_speakers=6):
+    """Crowd babble: many overlapped speakers lose the syllabic
+    structure a VAD keys on — the classic hard negative (VERDICT
+    round-2 #9).  Heavy reverb smears it further."""
+    n = int(SR * seconds)
+    out = np.zeros(n)
+    for _ in range(n_speakers):
+        sp, _ = synth_speech(rng, seconds)
+        shift = rng.integers(0, n // 2)
+        out += np.roll(sp, shift) * rng.uniform(0.4, 1.0)
+    out = _reverb(out, rng, rt60=rng.uniform(0.4, 1.0))
+    return (out / (np.max(np.abs(out)) + 1e-9)
+            * rng.uniform(0.1, 0.6)).astype(np.float32)
+
+
+def synth_vocal_music(rng, seconds=3.0):
+    """Singing-like negative: a glottal+formant source on a musical
+    pitch grid with vibrato and SUSTAINED envelope (no syllabic gating),
+    over a chord bed — spectrally speech-like, temporally music."""
+    n = int(SR * seconds)
+    t = np.arange(n) / SR
+    # melody: semitone-grid notes, 0.4-1 s each, with vibrato
+    root = rng.uniform(150, 350)
+    f0 = np.empty(n)
+    pos = 0
+    while pos < n:
+        dur = int(SR * rng.uniform(0.4, 1.0))
+        note = root * 2 ** (rng.integers(-5, 8) / 12.0)
+        f0[pos : pos + dur] = note
+        pos += dur
+    f0 = f0[:n] * (1 + 0.02 * np.sin(2 * np.pi * 5.5 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    voiced = np.maximum(np.sin(phase), 0.0) ** 3
+    sig = np.zeros(n)
+    for lo, hi, bw in ((300, 900, 80), (900, 2200, 120), (2200, 3200, 200)):
+        sig += _formant_filter(voiced, rng.uniform(lo, hi), bw) \
+            * rng.uniform(0.5, 1.0)
+    sig /= np.max(np.abs(sig)) + 1e-9
+    sig *= 0.7 + 0.3 * np.sin(2 * np.pi * 0.4 * t)  # slow swell, no pauses
+    # chord accompaniment
+    chord = np.zeros(n)
+    for ratio in (1.0, 1.5, 2.0):
+        chord += np.sin(2 * np.pi * root / 2 * ratio * t + rng.uniform(0, 6))
+    chord /= np.max(np.abs(chord)) + 1e-9
+    out = sig + 0.5 * chord
+    return (out / (np.max(np.abs(out)) + 1e-9)
+            * rng.uniform(0.1, 0.6)).astype(np.float32)
+
+
+def synth_negative(rng, seconds=3.0, kind=None):
     """Non-speech signal + zero labels."""
     n = int(SR * seconds)
     t = np.arange(n) / SR
-    kind = rng.integers(0, 6)
+    kind = rng.integers(0, 9) if kind is None else kind
+    if kind == 6:    # babble (crowd)
+        return synth_babble(rng, seconds), np.zeros(n // WINDOW, np.float32)
+    if kind == 7:    # vocal music
+        return synth_vocal_music(rng, seconds), np.zeros(
+            n // WINDOW, np.float32)
+    if kind == 8:    # cathedral-wash reverberant speech (unintelligible
+        # mush; MILD reverb on positives stays labeled speech, see
+        # make_example)
+        sp, _ = synth_speech(rng, seconds)
+        out = _reverb(sp, rng, rt60=rng.uniform(2.0, 4.0))
+        out = (out / (np.max(np.abs(out)) + 1e-9)
+               * rng.uniform(0.1, 0.5)).astype(np.float32)
+        return out, np.zeros(n // WINDOW, np.float32)
     if kind == 0:    # white noise
         out = rng.standard_normal(n) * rng.uniform(0.05, 0.5)
     elif kind == 1:  # pink-ish noise
@@ -119,9 +194,16 @@ def synth_negative(rng, seconds=3.0):
 
 
 def make_example(rng, seconds=3.0):
-    """Speech at random SNR over a negative background, or pure negative."""
+    """Speech at random SNR over a negative background, or pure negative.
+
+    1/3 of positives get mild room reverb (rt60 0.15-0.5 s) with labels
+    kept — real rooms must not gate speech away (the VAD fronts every
+    default inference path)."""
     if rng.random() < 0.55:
         sp, lab = synth_speech(rng, seconds)
+        if rng.random() < 0.33:
+            sp = _reverb(sp, rng, rt60=rng.uniform(0.15, 0.5)).astype(
+                np.float32)
         bg, _ = synth_negative(rng, seconds)
         snr_db = rng.uniform(0, 30)
         sp_pow = np.mean(sp ** 2) + 1e-9
@@ -131,6 +213,83 @@ def make_example(rng, seconds=3.0):
     return synth_negative(rng, seconds)
 
 
+def _auc(labels, scores):
+    """Frame-level ROC AUC (rank statistic, no sklearn)."""
+    labels = np.asarray(labels).ravel()
+    scores = np.asarray(scores).ravel()
+    pos = scores[labels > 0.5]
+    neg = scores[labels <= 0.5]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    order = np.argsort(np.concatenate([neg, pos]), kind="mergesort")
+    ranks = np.empty(len(order))
+    ranks[order] = np.arange(1, len(order) + 1)
+    r_pos = ranks[len(neg):].sum()
+    return float((r_pos - len(pos) * (len(pos) + 1) / 2)
+                 / (len(pos) * len(neg)))
+
+
+def evaluate(params, fb, seed, seconds=3.0, n_clips=60):
+    """Held-out ROC + per-category operating point at threshold 0.5.
+
+    Categories: clean/noisy/reverberant speech (recall) and each
+    negative family (false-positive rate) — VERDICT round-2 #9 wants
+    the shipped weights' ROC on the hard negatives recorded.
+    """
+    import json
+
+    import jax.numpy as jnp
+
+    n_frames = int(SR * seconds) // WINDOW
+
+    def probs_of(audio):
+        mel = np.asarray(log_mel_frames(jnp.asarray(audio), fb))[:n_frames]
+        return np.asarray(_forward(params, jnp.asarray(mel)))
+
+    rng = np.random.default_rng(seed + 1)
+    all_labels, all_scores = [], []
+    for _ in range(n_clips):
+        audio, lab = make_example(rng, seconds)
+        p = probs_of(audio)
+        all_labels.append(lab[:n_frames])
+        all_scores.append(p[: len(lab[:n_frames])])
+    auc = _auc(np.concatenate(all_labels), np.concatenate(all_scores))
+
+    cat_rng = np.random.default_rng(seed + 2)
+    cats = {}
+    # speech recall (active frames detected at 0.5), clean + reverberant
+    for name, reverb in (("speech_clean", None), ("speech_reverb", 0.35)):
+        hits = tot = 0
+        for _ in range(20):
+            sp, lab = synth_speech(cat_rng, seconds)
+            if reverb:
+                sp = _reverb(sp, cat_rng, rt60=reverb).astype(np.float32)
+            p = probs_of(sp)
+            lab = lab[:n_frames]
+            hits += ((p[: len(lab)] > 0.5) & (lab > 0.5)).sum()
+            tot += (lab > 0.5).sum()
+        cats[name + "_recall"] = round(float(hits / max(tot, 1)), 3)
+    # negative false-positive rate per family
+    neg_fams = {
+        "babble": lambda r: synth_babble(r, seconds),
+        "vocal_music": lambda r: synth_vocal_music(r, seconds),
+        "reverb_wash": lambda r: _reverb(
+            synth_speech(r, seconds)[0], r, rt60=3.0).astype(np.float32),
+        "noise_tones": lambda r: synth_negative(
+            r, seconds, kind=int(r.integers(0, 6)))[0],
+    }
+    for name, gen in neg_fams.items():
+        fp = tot = 0
+        for _ in range(20):
+            p = probs_of(gen(cat_rng))
+            fp += (p > 0.5).sum()
+            tot += len(p)
+        cats[name + "_fp_rate"] = round(float(fp / max(tot, 1)), 3)
+    out = {"frame_auc": round(auc, 4), **cats}
+    print(json.dumps({"vad_eval": out}))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -138,6 +297,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-only", action="store_true",
+                    help="evaluate the vendored weights, no training")
     ap.add_argument("--out", default=os.path.join(
         "ttasr", "audio", "data", "vad_weights.npz"))
     args = ap.parse_args()
@@ -149,6 +310,12 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     fb = mel_filterbank()
+    if args.eval_only:
+        loaded = np.load(args.out)
+        params = {k: jnp.asarray(loaded[k]) for k in loaded.files}
+        evaluate(params, fb, args.seed, args.seconds)
+        return
+
     rng = np.random.default_rng(args.seed)
     params = {k: jnp.asarray(v) for k, v in init_vad_params(args.seed).items()}
     opt = optax.adam(args.lr)
@@ -182,16 +349,8 @@ def main():
         if (it + 1) % 50 == 0:
             print(f"step {it+1}/{args.steps} loss {float(loss):.4f}")
 
-    # held-out accuracy
-    correct = total = 0
-    eval_rng = np.random.default_rng(args.seed + 1)
-    for _ in range(40):
-        audio, lab = make_example(eval_rng, args.seconds)
-        mel = np.asarray(log_mel_frames(jnp.asarray(audio), fb))[:n_frames]
-        probs = np.asarray(_forward(params, jnp.asarray(mel)))
-        correct += ((probs > 0.5) == (lab[:n_frames] > 0.5)).sum()
-        total += len(lab[:n_frames])
-    print(f"held-out frame accuracy: {correct/total:.3f}")
+    # held-out ROC + per-category operating point
+    evaluate(params, fb, args.seed, args.seconds)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     np.savez(args.out, **{k: np.asarray(v) for k, v in params.items()})

@@ -109,7 +109,8 @@ class WhisperEngine:
                  compute_type: str = "float32",
                  tokenizer: Optional[WhisperTokenizer] = None,
                  params: Optional[Any] = None,
-                 config: Optional[WhisperConfig] = None):
+                 config: Optional[WhisperConfig] = None,
+                 mesh: Optional[Any] = None):
         import jax.numpy as jnp
 
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
@@ -117,6 +118,7 @@ class WhisperEngine:
         self.compute_type = compute_type
         self.device = "tpu"
         self.model_size = model_path_or_name
+        self.mesh = mesh
         if params is not None and config is not None:
             self.params, self.cfg = params, config
         else:
@@ -126,7 +128,23 @@ class WhisperEngine:
         if compute_type == "int8":
             from ttasr.ops.quant import fuse_qkv, quantize_params
 
-            self.params = fuse_qkv(quantize_params(self.params))
+            self.params = quantize_params(self.params)
+            if mesh is None:
+                # The fused Pallas decode kernels are the single-chip fast
+                # path; under a mesh the engine keeps the unfused int8 XLA
+                # graph, which GSPMD partitions cleanly (a pallas_call has
+                # no sharding rule and would force replication).
+                self.params = fuse_qkv(self.params)
+        if mesh is not None:
+            # Tensor-parallel serving: Megatron column/row-split specs over
+            # the mesh "model" axis (SURVEY.md §2.3 "Required for
+            # whisper-large-v3").  jit then compiles every decode program
+            # against the sharded layouts and XLA inserts the ICI
+            # collectives — no per-call mesh context is needed because the
+            # NamedShardings are attached to the params themselves.
+            from ttasr.parallel.sharding import shard_params
+
+            self.params = shard_params(self.params, mesh)
         import jax as _jax
 
         _cfg = self.cfg

@@ -973,17 +973,26 @@ def pad_prompts(prompts: Sequence[Sequence[int]], pad_value: int,
     """Left-pad prompts to a fixed-width buffer (default MAX_PROMPT).
 
     Short prompts (no previous-text conditioning) use small buckets
-    (16/32) so the prefill pass does no wasted work; three buckets means
-    at most three compiled prefill variants.  The 32 bucket matters for
-    streaming: an ``initial_prompt`` like "繁體中文" plus specials is
-    ~17 tokens, which previously fell through to the full 256-wide
-    conditioned-prompt prefill on EVERY chunk.
+    (16/32) so the prefill pass does no wasted work; a bounded bucket set
+    means a bounded number of compiled prefill variants.  The 32 bucket
+    matters for streaming: an ``initial_prompt`` like "繁體中文" plus
+    specials is ~17 tokens, which previously fell through to the full
+    256-wide conditioned-prompt prefill on EVERY chunk.
+
+    The 64/144 buckets serve ``condition_on_previous_text`` carries
+    (VERDICT round-2 #7): ``build_prompt`` caps previous context at
+    ``MAX_PROMPT//2 - 1`` = 127 tokens, so the steady-state conditioned
+    prompt is at most 127 + sot_prev + sot_seq(3) = 131 tokens — bucket
+    144 (a sublane multiple), not 256.  Only prefix-heavy prompts pay
+    the full 256-wide prefill.
     """
     b = len(prompts)
     if width is None:
         longest = max((len(p) for p in prompts), default=0)
         width = (16 if longest <= 16
-                 else 32 if longest <= 32 else MAX_PROMPT)
+                 else 32 if longest <= 32
+                 else 64 if longest <= 64
+                 else 144 if longest <= 144 else MAX_PROMPT)
     out = np.full((b, width), pad_value, np.int32)
     pad_len = np.zeros((b,), np.int32)
     for i, p in enumerate(prompts):

@@ -36,9 +36,12 @@ def create_mesh(data: int = 1, model: int = 1, devices=None):
 
 
 # column-split (output dim sharded) / row-split (input dim sharded) names
-_COL_SPLIT = {"wq", "wk", "wv", "wq_c", "wk_c", "wv_c", "w1"}
+# ``wqkv``/``bqkv`` are the fused decoder qkv layout (ttasr.ops.quant
+# .fuse_qkv): a concat of three column-split projections along the output
+# dim, so the concat itself column-splits.
+_COL_SPLIT = {"wq", "wk", "wv", "wq_c", "wk_c", "wv_c", "w1", "wqkv"}
 _ROW_SPLIT = {"wo", "wo_c", "w2"}
-_COL_BIAS = {"bq", "bv", "bq_c", "bv_c", "b1"}
+_COL_BIAS = {"bq", "bv", "bq_c", "bv_c", "b1", "bqkv"}
 
 
 def _leaf_spec(name: str, ndim: int, path: tuple):

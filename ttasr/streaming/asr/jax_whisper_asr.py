@@ -45,8 +45,6 @@ def _resolve_model_path(model_size: str) -> str:
 
 class JaxWhisperASR(ASRInterface):
     def __init__(self, **kwargs):
-        from ttasr.engine.transcriber import WhisperEngine
-
         model_size = kwargs.get("model_size", "large-v3-turbo")
         model_path = _resolve_model_path(model_size)
 
@@ -62,7 +60,12 @@ class JaxWhisperASR(ASRInterface):
 
         engine = kwargs.get("engine")
         if engine is None:
-            engine = WhisperEngine(model_path, compute_type=compute_type)
+            # process-wide shared engine: when the task API loads the
+            # same model path + compute, both serve from ONE weight set
+            # and one shared BatchServer (ttasr.engine.registry)
+            from ttasr.engine.registry import get_engine
+
+            engine = get_engine(model_path, compute_type=compute_type)
         self.engine = engine
         self.asr_pipeline = engine  # name exposed for health checks
         # Optional continuous-batching server: concurrent streams' chunks
@@ -183,9 +186,16 @@ class JaxWhisperASR(ASRInterface):
             tok, language="zh", task="transcribe",
             initial_prompt_tokens=tok.encode(" 繁體中文"),
         )
+        budget = self._token_budget(len(audio) / 16000)
         result = await self.server.transcribe_window(
-            audio, prompt,
-            sample_len=self._token_budget(len(audio) / 16000))
+            audio, prompt, sample_len=budget)
+        if len(result.tokens) >= budget:
+            # no eot within budget: the partial may be truncated (dense zh
+            # + timestamp tokens can approach ~10 tok/s — ADVICE round 2);
+            # TTASR_STREAM_TOKEN_CAP raises the budget if this recurs
+            logger.debug(
+                "streaming token budget %d exhausted on a %.1fs chunk; "
+                "partial may be truncated", budget, len(audio) / 16000)
         text_tokens = [t for t in result.tokens if not tok.is_timestamp(t)]
         if not text_tokens:
             return None
@@ -219,7 +229,11 @@ class JaxWhisperASR(ASRInterface):
             tok, language="zh", task="transcribe",
             initial_prompt_tokens=tok.encode(" 繁體中文"),
         )
-        for seconds in (1.5, 6.0):
+        # all three _token_budget buckets (48/96/224): scratch can exceed
+        # 12 s when processing falls behind and the silence gate keeps
+        # accumulating, and an unwarmed bucket is a 20 s-5 min remote
+        # compile landing on a live stream (ADVICE round 2)
+        for seconds in (1.5, 6.0, 13.0):
             audio = np.zeros(int(16000 * seconds), np.float32)
             budget = self._token_budget(seconds)
             try:

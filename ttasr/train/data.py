@@ -89,15 +89,30 @@ def prepare_example(example: CorpusExample, tokenizer, *,
                     language: str = "zh", task: str = "transcribe",
                     do_lower_case: bool = True,
                     min_duration_s: float = 0.0,
-                    max_duration_s: float = 30.0) -> Optional[dict]:
-    """Decode audio + tokenize label; None when duration-filtered."""
+                    max_duration_s: float = 30.0,
+                    timestamps: bool = False) -> Optional[dict]:
+    """Decode audio + tokenize label; None when duration-filtered.
+
+    ``timestamps=True`` trains the timestamp head too: the label becomes
+    ``sot_seq(predict_timestamps) <|0.00|> text <|t_end|> eot`` with
+    ``t_end`` the clip duration on the 0.02 s grid — the openai-whisper
+    segment-label format, so a model fine-tuned this way drives the full
+    timestamp-rule decode path (the reference's HF recipe trains
+    notimestamps-only, train_asr.py:125-131)."""
     audio, _ = load_audio(example.audio_path, sr=SAMPLE_RATE)
     duration = len(audio) / SAMPLE_RATE
     if duration < min_duration_s or duration > max_duration_s:
         return None
     sentence = example.sentence.lower() if do_lower_case else example.sentence
-    prefix = tokenizer.sot_sequence(language, task, predict_timestamps=False)
-    labels = prefix + tokenizer.encode(sentence) + [tokenizer.eot]
+    prefix = tokenizer.sot_sequence(language, task,
+                                    predict_timestamps=timestamps)
+    text_tokens = tokenizer.encode(sentence)
+    if timestamps:
+        ts0 = tokenizer.timestamp_begin
+        t_end = min(int(round(duration / 0.02)), 1500)
+        labels = (prefix + [ts0] + text_tokens + [ts0 + t_end, tokenizer.eot])
+    else:
+        labels = prefix + text_tokens + [tokenizer.eot]
     return {"audio": audio, "labels": labels, "sentence": sentence,
             "duration": duration}
 
