@@ -439,3 +439,117 @@ def test_upload_streams_to_disk_constant_memory(api_env, tmp_path):
         finally:
             await client.close()
     _run(run())
+
+
+def test_concurrent_tasks_batch_through_shared_server(api_env, monkeypatch):
+    """VERDICT round-2 #3: >=4 concurrent task uploads must (a) produce
+    outputs identical to the sequential executor path and (b) pack their
+    windows into shared BatchServer decode steps instead of serializing
+    independent full-cost decodes (reference file_asr.py:440-543)."""
+    import os
+    import sys
+
+    import ttasr.api.file_tasks as ft
+    from ttasr.engine import serving
+    from ttasr.models.whisper.config import get_config
+    from ttasr.models.whisper.model import init_params
+    from ttasr.engine.transcriber import WhisperEngine
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from train_vad import synth_speech
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = get_config("micro-test")
+    engine = WhisperEngine("micro-test", params=init_params(cfg, seed=0),
+                           config=cfg, tokenizer=tok)
+
+    def _load_real():
+        ft.whisper_engine = engine
+        return True
+
+    monkeypatch.setattr(ft, "load_model", _load_real)
+    monkeypatch.setattr(ft, "whisper_engine", engine)
+    # small token budget so the CPU micro decode stays fast, and a single
+    # temperature-0 rung: random-init weights fail the quality gates and
+    # ladder into t>0 *sampling*, whose PRNG streams legitimately differ
+    # between the two transports — parity is asserted on deterministic
+    # decode (the ladder itself is covered by tests/test_serving.py)
+    monkeypatch.setattr(ft, "TRANSCRIBE_KWARGS",
+                        dict(ft.TRANSCRIBE_KWARGS, max_new_tokens=8,
+                             temperatures=(0.0,)))
+
+    def _clip_wav(seed):
+        audio, _labels = synth_speech(np.random.default_rng(seed), 2.0)
+        pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    clips = {f"clip{i}.wav": _clip_wav(100 + i) for i in range(4)}
+
+    async def upload_and_collect():
+        import aiohttp
+
+        client = await _client()
+        try:
+            token = await _login(client)
+            headers = {"Authorization": f"Bearer {token}"}
+
+            async def one(name, data):
+                form = aiohttp.FormData()
+                form.add_field("audio", data, filename=name,
+                               content_type="audio/wav")
+                r = await client.post("/api/v1/subtitle/tasks", data=form,
+                                      headers=headers)
+                assert r.status == 200, await r.text()
+                return (await r.json())["id"]
+
+            ids = await asyncio.gather(*[
+                one(n, d) for n, d in clips.items()])
+            texts = {}
+            for name, task_id in zip(clips, ids):
+                # generous budget: the first beam-5 decode compile on the
+                # CPU backend can take ~1 min alone
+                for _ in range(2400):
+                    r = await client.post(
+                        f"/api/v1/subtitle/tasks/{task_id}", headers=headers)
+                    status = (await r.json())["data"][0]["status"]
+                    if status == 22:
+                        break
+                    assert status != 4, f"task {name} failed"
+                    await asyncio.sleep(0.1)
+                else:
+                    pytest.fail(f"task {name} never completed")
+                r = await client.get(
+                    f"/api/v1/subtitle/tasks/{task_id}/subtitle?type=TXT",
+                    headers=headers)
+                texts[name] = await r.text()
+            stats = None
+            srv = serving._SHARED_SERVERS.get(id(engine))
+            if srv is not None:
+                stats = dict(srv.stats)
+            return texts, stats
+        finally:
+            await client.close()
+
+    # batched path (default): shared server, generous linger so the
+    # concurrent windows provably coalesce
+    monkeypatch.setenv("TTASR_TASK_BATCH_SLOTS", "4")
+    monkeypatch.setenv("TTASR_TASK_BATCH_LINGER_MS", "300")
+    batched_texts, stats = _run(upload_and_collect())
+
+    # sequential fallback path
+    monkeypatch.setenv("TTASR_TASK_BATCH_SLOTS", "0")
+    sequential_texts, _ = _run(upload_and_collect())
+
+    assert batched_texts == sequential_texts
+    assert stats is not None, "shared server was never created"
+    assert stats["served"] >= 4
+    # batching actually happened: fewer decode steps than windows served
+    assert stats["steps"] < stats["served"], stats

@@ -25,13 +25,19 @@ def _noise(seconds, amp=0.002, seed=0):
 
 
 def test_probabilities_high_on_speech_low_on_silence():
-    audio = np.concatenate([_noise(1.0), _tone(1.0), _noise(1.0, seed=1)])
+    """Real speech-like signal (glottal+formant synth) scores high;
+    flanking noise scores low.  (The old proxy here was an AM *tone* —
+    the round-3 hardened VAD correctly rejects tones/vocal-music as
+    non-speech, so a tone can no longer stand in for speech.)"""
+    speech, labels = _fixture_speech(seconds=1.0, seed=3)
+    audio = np.concatenate([_noise(1.0), speech, _noise(1.0, seed=1)])
     probs = speech_probabilities(audio)
-    n = len(probs)
-    sil1 = probs[: n // 3].mean()
-    speech = probs[n // 3 : 2 * n // 3].mean()
-    sil2 = probs[2 * n // 3 :].mean()
-    assert speech > 0.8
+    n3 = len(probs) // 3
+    sil1 = probs[:n3].mean()
+    sil2 = probs[2 * n3 :].mean()
+    mid = probs[n3 : 2 * n3]
+    active = labels[: len(mid)] > 0.5
+    assert mid[active].mean() > 0.8
     assert sil1 < 0.3 and sil2 < 0.3
 
 
@@ -209,3 +215,27 @@ def test_vad_factory_pyannote_alias():
 
     with _pytest.raises(ValueError):
         VADFactory.create_vad_pipeline("nope")
+
+
+def test_vendored_vad_roc_on_hardened_negatives():
+    """VERDICT round-2 #9: the shipped weights' ROC on hard negatives
+    (babble, vocal music, cathedral reverb) is measured and pinned.
+    Full numbers recorded by tools/train_vad.py --eval-only."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import jax.numpy as jnp
+    from train_vad import evaluate
+
+    from ttasr.audio.vad_model import _load_weights, mel_filterbank
+
+    params = {k: jnp.asarray(v) for k, v in _load_weights().items()}
+    out = evaluate(params, mel_filterbank(), seed=7, n_clips=30)
+    assert out["frame_auc"] > 0.95
+    assert out["speech_clean_recall"] > 0.9
+    assert out["speech_reverb_recall"] > 0.7
+    assert out["vocal_music_fp_rate"] < 0.1
+    assert out["reverb_wash_fp_rate"] < 0.2
+    assert out["babble_fp_rate"] < 0.4  # genuinely hard; tracked
+    assert out["noise_tones_fp_rate"] < 0.05

@@ -308,18 +308,54 @@ def main():
     @jax.jit
     def beam_gather(k8, ks, idx):
         def body(i, carry):
+            # idx must be genuinely loop-variant: an integer `chk * 0`
+            # folds to 0 (unlike float NaN-safe mults), which would make
+            # the gathers loop-invariant and hoistable.
             idx, acc = carry
             g1, g2 = k8[:, idx], k8[:, jnp.roll(idx, 1)]   # k and v gathers
             s1, s2 = ks[:, idx], ks[:, jnp.roll(idx, 1)]
             chk = (g1.astype(jnp.int32).sum() + g2.astype(jnp.int32).sum()
                    + (s1.sum() + s2.sum()).astype(jnp.int32))
-            return (idx + chk * 0, acc + chk)
+            return (jnp.roll(idx, 1 + chk % 1), acc + chk)
 
         _, acc = jax.lax.fori_loop(0, ITERS, body, (idx, jnp.int32(0)))
         return acc
 
     results["beam_gather_kv"] = per_iter(timeit(
         beam_gather, k8, ks, idx0, repeats=args.repeats))
+
+    # ---- whole beam step: beam_decode at two lengths, slope = ms/step ----
+    # Everything (_step + rules + top_k + finished insert + cache gather)
+    # measured as the marginal cost of 64 extra tokens — immune to the
+    # loop-hoisting pitfalls above because beam_decode is the REAL
+    # program the bench runs.
+    from ttasr.models.whisper.decode import (
+        DecodingOptions, TokenizerInfo, beam_decode, pad_prompts,
+    )
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    import dataclasses as _dc
+
+    base_ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    ti = _dc.replace(base_ti, suppress=tuple(
+        sorted(set(base_ti.suppress) | {base_ti.eot})))
+    prompt, ppad = pad_prompts(
+        [tok.sot_sequence("zh", "transcribe", predict_timestamps=True)] * b,
+        tok.eot)
+    key = jax.random.PRNGKey(0)
+    beam_ms = {}
+    for n_tok in (64, 128):
+        opts = DecodingOptions(beam_size=k, sample_len=n_tok, kv_int8=True,
+                               cross_kv_int8=True)
+        t_run = timeit(
+            lambda o=opts: beam_decode(params_q, cfg, enc_out, prompt, ppad,
+                                       key, opts=o, ti=ti),
+            repeats=args.repeats)
+        beam_ms[n_tok] = t_run
+    results["beam_step_marginal"] = (beam_ms[128] - beam_ms[64]) / 64
+    results["beam64_total"] = beam_ms[64]
+    results["beam128_total"] = beam_ms[128]
 
     for name, t in results.items():
         print(json.dumps({"stage": name, "ms": round(t * 1e3, 3),

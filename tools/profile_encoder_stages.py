@@ -66,20 +66,24 @@ def main():
             return {"q": w["q"][0], "s": w["s"][0]}
         return w[0]
 
-    def timed(name, fn, *operands):
+    def timed(name, fn, x0, *weights):
+        """Times ``fn(x, *weights)`` over iters*32 loop iterations with the
+        stage OUTPUT feeding the next iteration's INPUT (the
+        profile_decode.py pattern).  A loop-invariant body gets hoisted
+        by XLA and the measurement collapses to one ~25 ms relay RPC —
+        the first version of this tool measured exactly that for every
+        stage."""
+        d_in = x0.shape[-1]
+
         @jax.jit
-        def run(*ops):
-            def body(i, carry):
-                out = fn(*carry[1:])
-                # serialize iterations with a scalar data dependence
-                x0 = carry[0] * (1.0 + 0.0 * out.sum().astype(jnp.float32))
-                return (x0,) + carry[1:]
+        def run(x, *ws):
+            def body(i, x):
+                out = fn(x, *ws)
+                return out[..., :d_in].astype(x.dtype)
 
-            return jax.lax.fori_loop(
-                0, args.iters * n_layers, body,
-                (jnp.float32(1.0),) + ops)[0]
+            return jax.lax.fori_loop(0, args.iters * n_layers, body, x)
 
-        out = run(*operands)
+        out = run(x0, *weights)
         np.asarray(out)
         times = []
         for _ in range(args.repeats):
@@ -114,21 +118,26 @@ def main():
                       "ms_per_pass": round(min(times) / args.iters * 1e3, 2),
                       "batch": b, "compute": args.compute}))
 
-    # stages (one layer's weights, looped 32x)
-    timed("ln1", lambda x: _ln(x, blk0("ln1_s"), blk0("ln1_b")), x)
-    timed("qkv_proj (3 matmuls)", lambda x: (
-        _proj(x, blk0("wq"), blk0("bq"))
-        + _proj(x, blk0("wk"))
-        + _proj(x, blk0("wv"), blk0("bv"))), x)
+    # stages (one layer's weights, looped 32x).  Weights are jit
+    # ARGUMENTS: a closure-captured array becomes a compile-time constant
+    # shipped to the remote compile service (413 over ~10 MB —
+    # PERF_NOTES round-2 gotchas).
+    timed("ln1", lambda x, s, b: _ln(x, s, b),
+          x, blk0("ln1_s"), blk0("ln1_b"))
+    timed("qkv_proj (3 matmuls)",
+          lambda x, wq, bq, wk, wv, bv: (
+              _proj(x, wq, bq) + _proj(x, wk) + _proj(x, wv, bv)),
+          x, blk0("wq"), blk0("bq"), blk0("wk"), blk0("wv"), blk0("bv"))
     q = (x * (dh ** -0.5)).astype(jnp.bfloat16)
     timed("merged attention kernel",
-          lambda q, k, v: encoder_attention_merged(q, k, v, t),
-          q, x, x)
-    timed("out_proj", lambda x: _proj(x, blk0("wo"), blk0("bo")), x)
-    timed("mlp (ln2+w1+gelu+w2)", lambda x: _mlp(
-        _ln(x, blk0("ln2_s"), blk0("ln2_b")),
-        {"w1": blk0("w1"), "b1": blk0("b1"),
-         "w2": blk0("w2"), "b2": blk0("b2")}), x)
+          lambda q: encoder_attention_merged(q, q, q, t), q)
+    timed("out_proj", lambda x, w, b: _proj(x, w, b),
+          x, blk0("wo"), blk0("bo"))
+    timed("mlp (ln2+w1+gelu+w2)",
+          lambda x, s, b, w1, b1, w2, b2: _mlp(
+              _ln(x, s, b), {"w1": w1, "b1": b1, "w2": w2, "b2": b2}),
+          x, blk0("ln2_s"), blk0("ln2_b"),
+          blk0("w1"), blk0("b1"), blk0("w2"), blk0("b2"))
 
 
 if __name__ == "__main__":

@@ -8,4 +8,6 @@ Only two knobs are consumed by the streaming ASR loader:
 import os
 
 MODEL_DEVICE = os.getenv("TTASR_MODEL_DEVICE", "tpu")
-MODEL_COMPUTE_TYPE = os.getenv("TTASR_MODEL_COMPUTE_TYPE", "bfloat16")
+# int8 = the fused-kernel fast path AND the task API's default, so both
+# servers resolve to ONE shared engine (ttasr.engine.registry)
+MODEL_COMPUTE_TYPE = os.getenv("TTASR_MODEL_COMPUTE_TYPE", "int8")

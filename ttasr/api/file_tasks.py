@@ -63,15 +63,17 @@ def load_model() -> bool:
     global whisper_engine
     if whisper_engine is None:
         try:
-            from ttasr.engine.transcriber import WhisperEngine
+            from ttasr.engine.registry import get_engine
 
             models_path = os.getenv("TTASR_MODEL_PATH", "models")
             # int8 matches the reference task API's compute choice
             # (file_asr.py:188 loads CPU int8) and is the fast fused-
-            # kernel path here; override via TTASR_MODEL_COMPUTE_TYPE
+            # kernel path here; override via TTASR_MODEL_COMPUTE_TYPE.
+            # The registry shares the engine (one HBM weight set + one
+            # batch queue) with the streaming server when paths match.
             compute = os.getenv("TTASR_MODEL_COMPUTE_TYPE", "int8")
             logger.info("loading model: %s (%s)", models_path, compute)
-            whisper_engine = WhisperEngine(models_path, compute_type=compute)
+            whisper_engine = get_engine(models_path, compute_type=compute)
         except Exception:
             logger.exception("model load failed")
             return False
@@ -124,33 +126,68 @@ def _update_task(task_id: int, **fields) -> None:
 # Worker
 # ---------------------------------------------------------------------------
 
+TRANSCRIBE_KWARGS = dict(
+    language="zh",
+    word_timestamps=False,
+    vad_filter=True,
+    beam_size=5,
+    condition_on_previous_text=True,
+    initial_prompt="",
+)
+
+
 def _transcribe_blocking(file_path: str):
     """Run in a thread: decode + transcribe + post-process."""
     if not load_model():
         raise RuntimeError("模型載入失敗")
-    segments, info = whisper_engine.transcribe(
-        file_path,
-        language="zh",
-        word_timestamps=False,
-        vad_filter=True,
-        beam_size=5,
-        condition_on_previous_text=True,
-        initial_prompt="",
-    )
+    segments, info = whisper_engine.transcribe(file_path, **TRANSCRIBE_KWARGS)
     segments = list(segments)
     full_text = "".join(seg.text for seg in segments)
     processed = postprocess_transcript(full_text)
     return segments, processed
 
 
+async def _transcribe_task(file_path: str):
+    """Decode one task's audio, batched when possible.
+
+    Default path: the process-wide BatchServer (shared with the
+    streaming WS chunks when both run on one engine —
+    ``ttasr.engine.registry``), so N concurrent uploads pack their 30 s
+    windows into shared fixed decode slots instead of serializing N
+    full-cost decodes (reference behavior, file_asr.py:440-543).  The
+    ladder/gates are decode-equivalent to ``transcribe`` (tests/
+    test_serving.py).  ``TTASR_TASK_BATCH_SLOTS=0`` or an engine
+    without server support (the monkeypatched test dummies) falls back
+    to the executor-thread sequential path.
+    """
+    loop = asyncio.get_running_loop()
+    if not await loop.run_in_executor(None, load_model):
+        raise RuntimeError("模型載入失敗")
+    slots = int(os.getenv("TTASR_TASK_BATCH_SLOTS", "4"))
+    if slots <= 0 or not hasattr(whisper_engine, "transcribe_with_server"):
+        return await loop.run_in_executor(None, _transcribe_blocking,
+                                          file_path)
+    from ttasr.audio.io import load_audio
+    from ttasr.engine.serving import shared_server
+
+    linger_ms = float(os.getenv("TTASR_TASK_BATCH_LINGER_MS", "5"))
+    server = await shared_server(whisper_engine, slots=slots,
+                                 linger_ms=linger_ms)
+    # audio decode (ffmpeg/RIFF) off the loop; the decode itself runs in
+    # the server's executor
+    audio, _sr = await loop.run_in_executor(None, load_audio, file_path)
+    segments, info = await whisper_engine.transcribe_with_server(
+        audio, server, **TRANSCRIBE_KWARGS)
+    segments = list(segments)
+    full_text = "".join(seg.text for seg in segments)
+    return segments, postprocess_transcript(full_text)
+
+
 async def _worker(task_id: int, file_path: str, task_dir: str,
                   reference_text: Optional[str]) -> None:
     try:
         _update_task(task_id, status=STATUS_AUDIO_PROCESSING, progress=5)
-        loop = asyncio.get_running_loop()
-        segments, processed_text = await loop.run_in_executor(
-            None, _transcribe_blocking, file_path
-        )
+        segments, processed_text = await _transcribe_task(file_path)
 
         result_txt_path = os.path.join(task_dir, f"{task_id}.txt")
         with open(result_txt_path, "w", encoding="utf-8") as fh:

@@ -86,12 +86,13 @@ class StreamingService:
             # decode slots (TTASR_BATCH_SLOTS=0 disables).
             slots = int(os.getenv("TTASR_BATCH_SLOTS", "4"))
             if slots > 0:
-                from ttasr.engine.serving import BatchServer
+                from ttasr.engine.serving import shared_server
 
-                self.batch_server = BatchServer(
+                # process-wide server: task-API uploads on the same
+                # engine pack into these same decode slots
+                self.batch_server = await shared_server(
                     self.asr_pipeline.engine, slots=slots, beam_size=5
                 )
-                await self.batch_server.start()
                 self.asr_pipeline.server = self.batch_server
             logger.info("ASR pipeline ready")
             if not warmup:

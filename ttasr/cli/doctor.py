@@ -82,6 +82,97 @@ def check_native() -> Dict[str, object]:
         return {"built": False, "error": str(exc)}
 
 
+# module name -> pip distribution (reference build.py keeps such a map)
+_PIP_NAMES = {
+    "orbax.checkpoint": "orbax-checkpoint",
+    "Levenshtein": "python-Levenshtein",
+}
+# per-package timeout + failure tolerance (reference build.py:155-226:
+# slow/optional packages get longer timeouts and may fail without
+# aborting the build)
+_INSTALL_TIMEOUTS = {"jax": 600, "transformers": 600}
+_TOLERATED = set(OPTIONAL_MODULES)
+
+
+def install_missing(module_status: Dict[str, str]) -> Dict[str, object]:
+    """pip-install missing modules (reference build.py:155-226).
+
+    Explicitly opt-in (``--install-missing``): the TPU image bakes every
+    dependency in and has zero egress, so this path is for external
+    deployments.  Optional packages tolerate failure; required ones
+    report it.
+    """
+    import subprocess
+
+    out: Dict[str, object] = {}
+    for name, status in module_status.items():
+        if not status.lower().startswith("missing"):
+            continue
+        pip_name = _PIP_NAMES.get(name, name)
+        timeout = _INSTALL_TIMEOUTS.get(name, 300)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pip", "install", pip_name],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if proc.returncode == 0:
+                out[name] = "installed"
+            elif name in _TOLERATED:
+                out[name] = f"failed (tolerated): {proc.stderr[-200:]}"
+            else:
+                out[name] = f"FAILED: {proc.stderr[-200:]}"
+        except Exception as exc:  # timeout, no pip, no network
+            out[name] = (f"failed (tolerated): {exc}" if name in _TOLERATED
+                         else f"FAILED: {exc}")
+    return out
+
+
+def launch_server(host: str = "127.0.0.1", port: int = 5000,
+                  timeout_s: float = 120.0) -> Dict[str, object]:
+    """Start the combined API app and poll until ready (reference
+    build.py:503-849: port pre-check, subprocess launch, readiness
+    probe).  The server keeps running after the doctor exits; the
+    report carries its pid."""
+    import socket
+    import subprocess
+    import time
+    import urllib.request
+
+    # port pre-check (reference checks and warns, build.py:528-541)
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+        sock.settimeout(1)
+        if sock.connect_ex((host, port)) == 0:
+            return {"launched": False,
+                    "error": f"port {port} already in use"}
+
+    env = dict(os.environ)
+    env.setdefault("PYTHONIOENCODING", "utf-8")
+    env["TTASR_API_HOST"] = host
+    env["TTASR_API_PORT"] = str(port)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ttasr.api.app"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    t0 = time.time()
+    url = f"http://{host}:{port}/api/health"
+    while time.time() - t0 < timeout_s:
+        if proc.poll() is not None:
+            return {"launched": False, "pid": proc.pid,
+                    "error": f"server exited with {proc.returncode}"}
+        try:
+            with urllib.request.urlopen(url, timeout=2) as resp:
+                if resp.status == 200:
+                    return {"launched": True, "pid": proc.pid,
+                            "ready_in_s": round(time.time() - t0, 1),
+                            "url": f"http://{host}:{port}"}
+        except Exception:
+            pass
+        time.sleep(0.5)
+    proc.terminate()
+    return {"launched": False, "pid": proc.pid,
+            "error": f"not ready within {timeout_s}s"}
+
+
 async def probe_server(base_url: str) -> Dict[str, object]:
     """Hit the health endpoints of a running combined app
     (the reference's WS readiness probe, build.py:503-849)."""
@@ -107,6 +198,16 @@ def main(argv=None) -> dict:
     parser.add_argument("--model-dir", default=os.getenv("TTASR_MODEL_PATH", "models"))
     parser.add_argument("--probe", default=None,
                         help="base URL of a running API server to probe")
+    parser.add_argument("--install-missing", action="store_true",
+                        help="pip-install missing modules (reference "
+                             "build.py behavior; off by default — the "
+                             "TPU image bakes deps in)")
+    parser.add_argument("--launch", action="store_true",
+                        help="start the combined API app and wait for "
+                             "readiness (reference build.py launch+probe)")
+    parser.add_argument("--launch-port", type=int,
+                        default=int(os.getenv("TTASR_API_PORT", "5000")))
+    parser.add_argument("--launch-timeout", type=float, default=120.0)
     args = parser.parse_args(argv)
 
     report = {
@@ -116,6 +217,17 @@ def main(argv=None) -> dict:
         "model_dir": check_model_dir(args.model_dir),
         "native": check_native(),
     }
+    if args.install_missing:
+        report["installs"] = install_missing(report["modules"])
+        report["modules"] = check_modules()  # re-audit after installing
+    if args.launch:
+        report["launch"] = launch_server(port=args.launch_port,
+                                         timeout_s=args.launch_timeout)
+        if report["launch"].get("launched"):
+            import asyncio
+
+            report["server"] = asyncio.run(
+                probe_server(report["launch"]["url"]))
     if args.probe:
         import asyncio
 

@@ -54,9 +54,9 @@ class JaxWhisperASR(ASRInterface):
             try:
                 from ttasr.api import config as app_config
 
-                compute_type = getattr(app_config, "MODEL_COMPUTE_TYPE", "bfloat16")
+                compute_type = getattr(app_config, "MODEL_COMPUTE_TYPE", "int8")
             except Exception:
-                compute_type = "bfloat16"
+                compute_type = "int8"
 
         engine = kwargs.get("engine")
         if engine is None:

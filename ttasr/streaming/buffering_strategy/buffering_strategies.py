@@ -48,6 +48,17 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
         self.enable_transient = bool(kwargs.get("enable_transient", False))
         self.processing_flag = False
         self.start_time = None
+        # Overload policy (VERDICT round-2 #6): when a decode overruns the
+        # chunk cadence, do NOT spawn a second concurrent decode on the
+        # same scratch (the reference re-enters and only logs,
+        # buffering_strategies.py:72-75 — two decodes then race on one
+        # buffer).  Instead the backlog keeps accumulating in
+        # ``client.buffer`` and the NEXT process_audio call after the
+        # in-flight decode finishes processes the merged span in one
+        # larger decode (which lands in a larger token-budget bucket).
+        # While behind, transient (final=0) partials are shed.
+        self.behind = False
+        self.overload_merges = 0
 
     def process_audio(self, websocket, vad_pipeline, asr_pipeline):
         if self.client.connect_time is None and len(self.client.buffer) > 0:
@@ -62,10 +73,18 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
         )
         if len(self.client.buffer) > chunk_length_in_bytes:
             if self.processing_flag:
+                # merge-backlog: leave the bytes in client.buffer; they
+                # join the next decode as one span instead of racing a
+                # second decode against the in-flight one
+                self.behind = True
+                self.overload_merges += 1
                 logger.warning(
-                    "realtime processing fell behind: new chunk arrived while "
-                    "the previous one was still being processed"
+                    "realtime processing fell behind: merging backlog "
+                    "(%.1f s pending) into the next chunk",
+                    len(self.client.buffer)
+                    / (self.client.sampling_rate * self.client.samples_width),
                 )
+                return
             self.client.scratch_buffer += self.client.buffer
             self.client.buffer.clear()
             self.processing_flag = True
@@ -112,7 +131,9 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
                 vad_results[-1]["end"] < last_segment_should_end_before
                 or last_segment_should_end_before > 2
             ):
-                if self.enable_transient:
+                if self.enable_transient and not self.behind:
+                    # shed transients while behind: provisional partials
+                    # are pure extra decode load when finals are late
                     await self._emit_transient(websocket, asr_pipeline,
                                                start_transcribe_time)
                 return
@@ -148,6 +169,12 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
             logger.exception("chunk processing failed")
         finally:
             self.processing_flag = False
+            # recovered when the pending backlog is back under one chunk
+            chunk_bytes = (self.chunk_length_seconds
+                           * self.client.sampling_rate
+                           * self.client.samples_width)
+            if self.behind and len(self.client.buffer) <= chunk_bytes:
+                self.behind = False
 
     def _postprocess(self, text: str) -> str:
         """Optional charactersToNumbers conversion (README.md:520)."""

@@ -252,12 +252,20 @@ class WhisperTokenizer:
         ).split()
         miscellaneous = set("♩♪♫♬♭♮♯")
         result = set()
+        byte_fallback = getattr(self, "is_byte_fallback", False)
         for symbol in symbols + list(miscellaneous):
             for tok in {symbol, " " + symbol}:
                 ids = self.encode(tok)
                 if len(ids) == 1:
                     result.add(ids[0])
-                elif symbol in miscellaneous and ids:
+                elif symbol in miscellaneous and ids and not byte_fallback:
+                    # openai keeps the symbol's LAST BPE piece.  Valid for
+                    # a real vocab (that piece is symbol-specific); fatal
+                    # for the byte-fallback vocab, where ids are raw
+                    # UTF-8 bytes shared with CJK text — e.g. ♩ ends in
+                    # 0xA9, the last byte of 天, and suppressing it bans
+                    # every character containing that byte (caught by
+                    # tools/check_trained_recognition.py).
                     result.add(ids[-1])
         return sorted(result)
 
@@ -298,7 +306,11 @@ def build_byte_fallback_tokenizer() -> WhisperTokenizer:
     specials["<|notimestamps|>"] = nid; nid += 1
     for i in range(_TIMESTAMP_COUNT):
         specials[f"<|{i * 0.02:.2f}|>"] = nid; nid += 1
-    return WhisperTokenizer(vocab, [], specials)
+    tok = WhisperTokenizer(vocab, [], specials)
+    # marks that token ids are raw UTF-8 bytes: non_speech_tokens() must
+    # not suppress a multi-byte symbol's tail byte (shared with CJK text)
+    tok.is_byte_fallback = True
+    return tok
 
 
 def load_tokenizer(path_or_none: Optional[str]) -> WhisperTokenizer:
