@@ -239,3 +239,51 @@ def test_vendored_vad_roc_on_hardened_negatives():
     assert out["reverb_wash_fp_rate"] < 0.2
     assert out["babble_fp_rate"] < 0.4  # genuinely hard; tracked
     assert out["noise_tones_fp_rate"] < 0.05
+
+
+def test_binarize_hysteresis_semantics():
+    """pyannote Binarize: onset/offset hysteresis, short-gap fill,
+    short-region drop."""
+    from ttasr.streaming.vad.pyannote_vad import binarize
+
+    # frame = 0.1 s; a dip to 0.45 must NOT close the region when
+    # offset=0.4 (hysteresis), and the 0.2 s gap (< min_duration_off)
+    # must be filled
+    scores = [0.1, 0.8, 0.9, 0.45, 0.9, 0.1, 0.1, 0.9, 0.9, 0.9, 0.1]
+    regions = binarize(scores, 0.1, onset=0.5, offset=0.4,
+                       min_duration_on=0.2, min_duration_off=0.3)
+    assert regions == [(0.1, 1.0)], regions
+    # min_duration_on drops a lone blip
+    blip = [0.0, 0.9, 0.0, 0.0]
+    assert binarize(blip, 0.1, onset=0.5, offset=0.4,
+                    min_duration_on=0.2, min_duration_off=0.0) == []
+
+
+def test_pyannote_vad_plugin_detects_speech():
+    """Factory 'pyannote' type: reference constructor surface
+    (model_name/auth_token/pyannote_args) over the learned model."""
+    import asyncio
+
+    from ttasr.streaming.vad.vad_factory import VADFactory
+
+    vad = VADFactory.create_vad_pipeline(
+        "pyannote", model_name="pyannote/segmentation",
+        auth_token="ignored",
+        pyannote_args={"onset": 0.5, "offset": 0.35,
+                       "min_duration_on": 0.2, "min_duration_off": 0.3})
+
+    speech, _ = _fixture_speech(seconds=2.0, seed=51)
+
+    class FakeClient:
+        sampling_rate = 16000
+        samples_width = 2
+        scratch_buffer = bytearray(
+            (np.clip(speech, -1, 1) * 32767).astype("<i2").tobytes())
+
+    segs = asyncio.run(vad.detect_activity(FakeClient()))
+    assert segs and all(0 <= s["start"] < s["end"] <= 2.1 for s in segs)
+
+    class SilentClient(FakeClient):
+        scratch_buffer = bytearray(np.zeros(16000, "<i2").tobytes())
+
+    assert asyncio.run(vad.detect_activity(SilentClient())) == []

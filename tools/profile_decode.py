@@ -110,15 +110,28 @@ def main():
     step_jit = jax.jit(step_loop)
 
     def make_cache(prms, cross_int8):
+        # int8 values + positive scales generated DIRECTLY: routing a
+        # (L, BK, clen, H, Dh) f32 tensor through quantize_kv OOM'd the
+        # 16 GB chip at batch 16 (1.9 GB f32 temporary on top of both
+        # param sets)
         flat = "wqkv" in prms["decoder"]["blocks"] and dh == 64
-        cache = init_cache(prms, cfg, enc_out, max_len=clen, beam_expand=k,
-                           kv_int8=True, cross_kv_int8=cross_int8,
-                           flat_kv=flat)
-        kv = rng.standard_normal((L, bk, clen, h, dh)).astype(np.float32)
-        q8, sc = quantize_kv(jnp.asarray(kv.reshape(L * bk, clen, h, dh)))
+        # init_cache must run under jit here: eagerly, the cross-KV
+        # projection + quantization materializes ~4 GB of per-op f32
+        # temporaries at batch 16 (inside beam_decode XLA fuses them)
+        from functools import partial as _partial
+
+        jit_init = jax.jit(_partial(
+            init_cache, cfg=cfg, max_len=clen, beam_expand=k,
+            kv_int8=True, cross_kv_int8=cross_int8, flat_kv=flat))
+        cache = jit_init(prms, enc_out=enc_out)
+        q8 = jnp.asarray(
+            rng.integers(-127, 127, (L, bk, clen, h, dh)), jnp.int8)
+        sc = jnp.asarray(
+            np.abs(rng.standard_normal((L, bk, clen, h))).astype(np.float32)
+            + 0.01)
         if flat:
             hp = ((h + 7) // 8) * 8
-            sc_t = jnp.pad(jnp.swapaxes(sc.reshape(L, bk, clen, h), 2, 3),
+            sc_t = jnp.pad(jnp.swapaxes(sc, 2, 3),
                            ((0, 0), (0, 0), (0, hp - h), (0, 0)))
             return cache.__class__(
                 k=q8.reshape(L, bk, clen, h * dh),
@@ -126,11 +139,9 @@ def main():
                 cross_k=cache.cross_k, cross_v=cache.cross_v,
                 ks=sc_t, vs=sc_t, cks=cache.cks, cvs=cache.cvs)
         return cache.__class__(
-            k=q8.reshape(L, bk, clen, h, dh),
-            v=q8.reshape(L, bk, clen, h, dh),
+            k=q8, v=q8,
             cross_k=cache.cross_k, cross_v=cache.cross_v,
-            ks=sc.reshape(L, bk, clen, h), vs=sc.reshape(L, bk, clen, h),
-            cks=cache.cks, cvs=cache.cvs)
+            ks=sc, vs=sc, cks=cache.cks, cvs=cache.cvs)
 
     results["full_step_int8w"] = per_iter(timeit(
         step_jit, params_q, make_cache(params_q, False),
@@ -138,8 +149,13 @@ def main():
     results["full_step_int8w_crossint8"] = per_iter(timeit(
         step_jit, params_q, make_cache(params_q, True),
         repeats=args.repeats))
-    results["full_step_bf16w"] = per_iter(timeit(
-        step_jit, params, make_cache(params, False), repeats=args.repeats))
+    if bk <= 48:
+        # bf16 A/B only at small batch: both param sets + caches exceed
+        # the 16 GB chip at batch 16 x beam 5
+        results["full_step_bf16w"] = per_iter(timeit(
+            step_jit, params, make_cache(params, False),
+            repeats=args.repeats))
+    del params
 
     # ---- cross attention only: XLA bf16 vs Pallas fused -----------------
     qc0 = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)

@@ -81,14 +81,17 @@ def main():
                 out = fn(x, *ws)
                 return out[..., :d_in].astype(x.dtype)
 
-            return jax.lax.fori_loop(0, args.iters * n_layers, body, x)
+            final = jax.lax.fori_loop(0, args.iters * n_layers, body, x)
+            # scalar result: fetching the (B, T, D) carrier through the
+            # axon relay costs ~300 ms for 31 MB and buries the signal
+            return jnp.sum(final.astype(jnp.float32))
 
         out = run(x0, *weights)
         np.asarray(out)
         times = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            np.asarray(run(*operands))
+            np.asarray(run(x0, *weights))
             times.append(time.perf_counter() - t0)
         per_pass = min(times) / args.iters
         print(json.dumps({"stage": name,
@@ -106,7 +109,8 @@ def main():
             out = encode(params, cfg, m[..., :3000])
             return m * (1.0 + 0.0 * out.sum().astype(m.dtype))
 
-        return jax.lax.fori_loop(0, args.iters, body, mel)
+        final = jax.lax.fori_loop(0, args.iters, body, mel)
+        return jnp.sum(final.astype(jnp.float32))  # scalar fetch
 
     np.asarray(full_loop(params, mel))
     times = []
