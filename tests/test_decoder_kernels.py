@@ -427,3 +427,27 @@ def test_cross_attn_alignment_works_with_fused_params():
                                rtol=2e-2, atol=2e-3)
     np.testing.assert_allclose(np.asarray(qk_fus), np.asarray(qk_ref),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_beam_gather_kernel_matches_xla_gather():
+    """Pallas permuted-copy of the flat int8 self-KV cache must be
+    bit-identical to the XLA batch-axis gather it replaces
+    (decode.py::_gather_cache)."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.beam_gather_pallas import gather_cache_rows
+
+    rng = np.random.default_rng(0)
+    l, bk, t, d, hp = 3, 10, 48, 256, 8
+    k = jnp.asarray(rng.integers(-127, 128, (l, bk, t, d)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (l, bk, t, d)), jnp.int8)
+    ks = jnp.asarray(rng.standard_normal((l, bk, hp, t)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((l, bk, hp, t)), jnp.float32)
+    # beam-style permutation: repeats + identity rows mixed
+    idx = jnp.asarray([0, 0, 3, 2, 4, 9, 5, 5, 7, 6], jnp.int32)
+
+    gk, gv, gks, gvs = gather_cache_rows(k, v, ks, vs, idx, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(k[:, idx]))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(v[:, idx]))
+    np.testing.assert_array_equal(np.asarray(gks), np.asarray(ks[:, idx]))
+    np.testing.assert_array_equal(np.asarray(gvs), np.asarray(vs[:, idx]))

@@ -340,6 +340,29 @@ def main():
     results["beam_gather_kv"] = per_iter(timeit(
         beam_gather, k8, ks, idx0, repeats=args.repeats))
 
+    # ---- the same reorder via the Pallas permuted-copy kernel --------------
+    hp = ((h + 7) // 8) * 8
+    k8_flat = k8.reshape(L, bk, clen, h * dh)
+    ks_flat = jnp.pad(jnp.swapaxes(ks, 2, 3),
+                      ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+
+    @jax.jit
+    def beam_gather_kernel(k8, ks, idx):
+        from ttasr.ops.beam_gather_pallas import gather_cache_rows
+
+        def body(i, carry):
+            idx, acc = carry
+            gk, gv, gks, gvs = gather_cache_rows(k8, k8, ks, ks, idx)
+            chk = (gk.astype(jnp.int32).sum() + gv.astype(jnp.int32).sum()
+                   + (gks.sum() + gvs.sum()).astype(jnp.int32))
+            return (jnp.roll(idx, 1 + chk % 1), acc + chk)
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (idx, jnp.int32(0)))
+        return acc
+
+    results["beam_gather_pallas"] = per_iter(timeit(
+        beam_gather_kernel, k8_flat, ks_flat, idx0, repeats=args.repeats))
+
     # ---- whole beam step: beam_decode at two lengths, slope = ms/step ----
     # Everything (_step + rules + top_k + finished insert + cache gather)
     # measured as the marginal cost of 64 extra tokens — immune to the

@@ -728,7 +728,23 @@ def _gather_cache(cache: DecodeCache, idx) -> DecodeCache:
     Cross-attention K/V are NOT gathered: beam reordering only permutes
     beams within the same audio, and cross K/V are identical across those
     beams — skipping the gather saves the dominant HBM copy per step.
+
+    The flat int8 layout routes through a Pallas permuted-copy kernel:
+    XLA's batch-axis gather on these arrays measured ~8x off the HBM
+    roofline and matched the cost of the whole rest of the decode step
+    (PERF_NOTES.md, tools/profile_decode.py ``beam_gather_kv``).
     """
+    if cache.flat and cache.quantized:
+        from ttasr.ops.beam_gather_pallas import gather_cache_rows
+
+        k, v, ks, vs = gather_cache_rows(
+            cache.k, cache.v, cache.ks, cache.vs, idx,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return DecodeCache(
+            k=k, v=v, cross_k=cache.cross_k, cross_v=cache.cross_v,
+            ks=ks, vs=vs, cks=cache.cks, cvs=cache.cvs,
+        )
     ks = cache.ks[:, idx] if cache.quantized else cache.ks
     vs = cache.vs[:, idx] if cache.quantized else cache.vs
     return DecodeCache(
