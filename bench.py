@@ -69,7 +69,11 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
                            cross_kv_int8=cross_kv_int8)
 
     rng = np.random.default_rng(0)
-    audio = rng.standard_normal((batch, N_SAMPLES)).astype(np.float32) * 0.1
+    # int16 PCM end-to-end: audio is natively int16, and uploading f32
+    # through the axon relay measured 0.52 s at batch 16 vs 0.37 s for
+    # int16 (mel converts on device, exactly).
+    audio = (rng.standard_normal((batch, N_SAMPLES)) * 0.1 * 32767.0
+             ).clip(-32768, 32767).astype(np.int16)
     prompt_ids = tok.sot_sequence("zh", "transcribe", predict_timestamps=True)
     prompt, pad = pad_prompts([prompt_ids] * batch, tok.eot)
     key = jax.random.PRNGKey(0)

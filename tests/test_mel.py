@@ -58,3 +58,18 @@ def test_mel_filter_bank_matches_hf():
     )
     ours = mel_filter_bank(80)
     assert np.max(np.abs(ours - golden)) < 1e-6
+
+
+def test_mel_int16_input_matches_f32():
+    """int16 PCM input converts on device (/32768) and must match the
+    f32 path bit-for-bit — int16 -> f32 is exact."""
+    import numpy as np
+
+    from ttasr.ops.mel import log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal((2, 48000)) * 0.2 * 32767.0).clip(
+        -32768, 32767).astype(np.int16)
+    ref = log_mel_spectrogram(pcm.astype(np.float32) / 32768.0, n_mels=80)
+    got = log_mel_spectrogram(pcm, n_mels=80)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

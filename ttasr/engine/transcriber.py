@@ -171,8 +171,14 @@ class WhisperEngine:
 
         Pads host-side to the fixed 30 s window, then runs mel + encoder
         as one jitted program (eager per-op dispatch through the remote
-        relay measured ~6 s per call; jitted it is ~0.1 s/window)."""
-        a = np.asarray(audio, np.float32)
+        relay measured ~6 s per call; jitted it is ~0.1 s/window).
+
+        int16 input is uploaded as-is and converted on device — half the
+        host->device bytes (the relay upload dominates the mel+encode
+        call, PERF_NOTES.md)."""
+        a = np.asarray(audio)
+        if a.dtype != np.int16:
+            a = a.astype(np.float32, copy=False)
         squeeze = a.ndim == 1
         if squeeze:
             a = a[None]
