@@ -298,16 +298,15 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
 
             def sc_pad(s):
                 s = s.reshape(bk, h)
-                return jnp.pad(s, ((0, 0), (0, hp - h)))[:, :, None]
+                return jnp.pad(s, ((0, 0), (0, hp - h)))
 
-            k_cache = jax.lax.dynamic_update_slice_in_dim(
-                k_cache, k8n.reshape(bk, 1, d), slot, axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(
-                v_cache, v8n.reshape(bk, 1, d), slot, axis=1)
-            ks_cache = jax.lax.dynamic_update_slice_in_dim(
-                ks_cache, sc_pad(ksn), slot, axis=2)
-            vs_cache = jax.lax.dynamic_update_slice_in_dim(
-                vs_cache, sc_pad(vsn), slot, axis=2)
+            # Do NOT write the caches here: threading the full cache
+            # slabs through scan ys makes XLA rewrite the ENTIRE cache
+            # every step (~1 GB/step of pass-through writes).  The new
+            # rows are tiny — stack them as ys and write all layers
+            # with ONE dynamic_update_slice per tensor after the scan.
+            new_rows = (k8n.reshape(bk, d), v8n.reshape(bk, d),
+                        sc_pad(ksn), sc_pad(vsn))
         else:
             q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
             split = lambda t: _split_heads(t[:, None, :], cfg.decoder_heads)  # noqa: E731
@@ -365,6 +364,8 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
             blk["w2"]["q"], blk["w2"]["s"], blk["b2"],
             interpret=interp,
         )
+        if flat:
+            return x_new[:, None, :].astype(x.dtype), new_rows
         return x_new[:, None, :].astype(x.dtype), (
             k_cache, v_cache, ks_cache, vs_cache)
 
@@ -417,7 +418,23 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
     operands += [cache.cross_k, cache.cross_v]
     if cross_quantized:
         operands += [cache.cks, cache.cvs]
-    if quantized:
+    if quantized and flat and fused_kernels:
+        # scan ys are just each layer's new (BK, D) row / (BK, HP)
+        # scales; write all layers with ONE dynamic_update_slice per
+        # tensor.  (Threading the caches through ys made XLA rewrite
+        # the ENTIRE ~1 GB cache every step — PERF_NOTES.md.)
+        x, (k_rows, v_rows, ks_rows, vs_rows) = jax.lax.scan(
+            scan_block, x, tuple(operands))
+        zero = jnp.int32(0)
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, k_rows[:, :, None, :], (zero, zero, slot, zero))
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, v_rows[:, :, None, :], (zero, zero, slot, zero))
+        new_ks = jax.lax.dynamic_update_slice(
+            cache.ks, ks_rows[:, :, :, None], (zero, zero, zero, slot))
+        new_vs = jax.lax.dynamic_update_slice(
+            cache.vs, vs_rows[:, :, :, None], (zero, zero, zero, slot))
+    elif quantized:
         x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
             scan_block, x, tuple(operands))
     else:

@@ -81,40 +81,63 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
         head_of_col = col_d // dh                       # (1, D)
         row_hp = jax.lax.broadcasted_iota(jnp.int32, (hp, d), 0)
         diag_mask = row_hp == head_of_col              # (HP, D) broadcast
-        col_h = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
+        head_of_col_k = jnp.broadcast_to(head_of_col, (k_rows, d))
+        col_h_k = jax.lax.broadcasted_iota(jnp.int32, (k_rows, h), 1)
+        # head selector matrices for the two tiny layout matmuls below
+        seg_dh = (jax.lax.broadcasted_iota(jnp.int32, (d, h), 0) // dh
+                  == jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+                  ).astype(jnp.float32)                # (D, H)
+        hp_oh = (jax.lax.broadcasted_iota(jnp.int32, (hp, h), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (hp, h), 1)
+                 ).astype(jnp.float32)                 # (HP, H)
 
-        row_col1 = jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0)
-
-        def quantize_row(x):
-            """(1, D) f32 -> int8 row + scales in col/lane/row layouts."""
+        def quantize_rows(x):
+            """(K, D) f32 -> int8 rows + per-head scales (col + lane
+            layouts).  One full-width masked max per head covers ALL
+            beam rows — the former per-(beam, head) scalar-max loop
+            issued ~K times the serial VPU reduces and dominated the
+            kernel's compute (PERF_NOTES.md)."""
             ax = jnp.abs(x)
-            scale_cols = jnp.zeros((1, d), jnp.float32)
-            scale_heads = jnp.zeros((1, h), jnp.float32)
-            scale_rows = jnp.ones((hp, 1), jnp.float32)
+            scale_cols = jnp.zeros((k_rows, d), jnp.float32)
+            scale_heads = jnp.zeros((k_rows, h), jnp.float32)
             for hh in range(h):
-                m = jnp.max(jnp.where(head_of_col == hh, ax, 0.0))
+                m = jnp.max(jnp.where(head_of_col_k == hh, ax, 0.0),
+                            axis=1, keepdims=True)      # (K, 1)
                 sc = jnp.maximum(m, 1e-8) / 127.0
-                scale_cols = jnp.where(head_of_col == hh, sc, scale_cols)
-                scale_heads = jnp.where(col_h == hh, sc, scale_heads)
-                scale_rows = jnp.where(row_col1 == hh, sc, scale_rows)
+                scale_cols = jnp.where(head_of_col_k == hh, sc, scale_cols)
+                scale_heads = jnp.where(col_h_k == hh, sc, scale_heads)
             q8 = jnp.clip(jnp.round(x / scale_cols), -127, 127)
-            return q8.astype(jnp.int8), scale_cols, scale_heads, scale_rows
+            return q8.astype(jnp.int8), scale_cols, scale_heads
+
+        q_all = qkv_ref[0, :, :d] * qscale              # (K, D)
+        k_new = qkv_ref[0, :, d : 2 * d]
+        v_new = qkv_ref[0, :, 2 * d : 3 * d]
+        k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
+        v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
+        k8n_ref[0] = k8a
+        v8n_ref[0] = v8a
+        ksn_ref[0] = ksc_heads
+        vsn_ref[0] = vsc_heads
+
+        # self-term dots for every (beam, head) at once: a segment-sum
+        # matmul over the head-indicator matrix replaces K*H serial
+        # multiply-reduce chains.  (A dot_general with N=1 trips a
+        # Mosaic vector.broadcast verifier bug; N=H here avoids it.)
+        # bf16-round the operands (as the MXU sees them when this entry
+        # is later read from the cache), multiply/accumulate in f32
+        prod_all = (q_all.astype(jnp.bfloat16).astype(jnp.float32)
+                    * k8a.astype(jnp.float32))          # (K, D)
+        d_self = jax.lax.dot_general(
+            prod_all, seg_dh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                               # (K, H)
+        s_self_all = d_self * ksc_heads                 # (K, H)
 
         for j in range(k_rows):
-            row = qkv_ref[0, j : j + 1, :]               # (1, 3D)
-            q = row[:, :d] * qscale
-            k_new = row[:, d : 2 * d]
-            v_new = row[:, 2 * d : 3 * d]
-
-            k8n, ksc_cols, ksc_heads, ksc_rows = quantize_row(k_new)
-            v8n, vsc_cols, vsc_heads, vsc_rows = quantize_row(v_new)
-            k8n_ref[0, j : j + 1, :] = k8n
-            v8n_ref[0, j : j + 1, :] = v8n
-            ksn_ref[0, j : j + 1, :] = ksc_heads
-            vsn_ref[0, j : j + 1, :] = vsc_heads
-
             # Q_diag: row hh = q's head-hh columns, zeros elsewhere
-            qd = jnp.where(diag_mask, jnp.broadcast_to(q, (hp, d)), 0.0)
+            qd = jnp.where(
+                diag_mask, jnp.broadcast_to(q_all[j : j + 1], (hp, d)), 0.0)
             qd = qd.astype(jnp.bfloat16)
 
             keys = k_ref[0, j].astype(jnp.bfloat16)      # (len, D)
@@ -131,15 +154,14 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
                      & (row_iota < h))
             scores = jnp.where(valid, scores, NEG_INF)
 
-            # self term: int8 product then per-head scale — the same
-            # order as the cached-slot reads, so the merged softmax is
-            # numerically the one the unfused path computes.  (A
-            # dot_general with N=1 trips a Mosaic vector.broadcast
-            # verifier bug; the VPU multiply-reduce is equivalent.)
-            prod = qd * jnp.broadcast_to(
-                k8n.astype(jnp.bfloat16), (hp, d))
-            s_self = jnp.sum(prod.astype(jnp.float32), axis=1,
-                             keepdims=True) * ksc_rows   # (HP, 1)
+            # this beam's self scores, transposed from the (1, H) lane
+            # layout to score-aligned (HP, 1) rows via the tiny selector
+            # matmul (rows >= H get zero and never reach the merge)
+            s_self = jax.lax.dot_general(
+                hp_oh, s_self_all[j : j + 1], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # (HP, 1)
 
             m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
             e = jnp.exp(scores - m)
@@ -154,10 +176,11 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
                 probs_scaled, vals, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                            # (HP, D)
-            vq = v8n.astype(jnp.float32) * vsc_cols      # (1, D)
+            vq = (v8a[j : j + 1].astype(jnp.float32)
+                  * vsc_cols[j : j + 1])                 # (1, D)
             out_full = out_full + p_self * vq
             merged = jnp.sum(
-                jnp.where(row_hp == head_of_col, out_full, 0.0),
+                jnp.where(diag_mask, out_full, 0.0),
                 axis=0, keepdims=True,
             )                                            # (1, D)
             attn_ref[0, j : j + 1, :] = merged
