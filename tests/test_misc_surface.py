@@ -66,6 +66,51 @@ def test_doctor_report(tmp_path, capsys):
     assert report["native"]["built"] in (True, False)
 
 
+def test_doctor_launch_port_precheck():
+    """launch_server refuses a port that is already bound (reference
+    build.py:528-541 port pre-check)."""
+    import socket
+
+    from ttasr.cli.doctor import launch_server
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as srv:
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        out = launch_server(port=port, timeout_s=1.0)
+    assert out["launched"] is False
+    assert "already in use" in out["error"]
+
+
+def test_doctor_install_missing_tolerance(monkeypatch):
+    """install_missing: optional packages tolerate pip failure, required
+    ones surface it (reference build.py:155-226 semantics)."""
+    import subprocess
+
+    from ttasr.cli import doctor
+
+    calls = []
+
+    def fake_run(cmd, **kwargs):
+        calls.append(cmd)
+
+        class P:
+            returncode = 1
+            stderr = "no network"
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = doctor.install_missing({
+        "aiohttp": "MISSING (no module)",        # required
+        "Levenshtein": "missing (optional)",     # optional, pip-name mapped
+        "jax": "ok",                             # untouched
+    })
+    assert out["aiohttp"].startswith("FAILED")
+    assert out["Levenshtein"].startswith("failed (tolerated)")
+    assert "jax" not in out
+    assert any("python-Levenshtein" in c for cmd in calls for c in cmd)
+
+
 def test_config_tree(monkeypatch):
     from ttasr.core.config import load_config
 
