@@ -366,6 +366,133 @@ def test_self_attn_step_kernel_matches_unfused():
     assert rel < 2e-2, rel
 
 
+def test_self_attn_indirect_kernel_matches_gathered():
+    """self_attn_step_indirect_int8 over an UN-reordered cache + ancestry
+    map == self_attn_step_int8 over the position-wise gathered cache."""
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import quantize_kv
+    from ttasr.ops.self_attention_pallas import (
+        self_attn_step_indirect_int8,
+        self_attn_step_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    b, k_rows, h, dh, s_len = 2, 3, 2, 64, 16
+    d = h * dh
+    bk = b * k_rows
+    hp = 8
+    slot = 10
+    pad = np.array([[0, 2, 0], [1, 0, 3]], np.int32)
+
+    qkv = (rng.standard_normal((b, k_rows, 3 * d)) * 0.5).astype(np.float32)
+    cache_kv = (rng.standard_normal((2, bk, s_len, h, dh)) * 0.5
+                ).astype(np.float32)
+    k8c, ksc = quantize_kv(jnp.asarray(cache_kv[0]))
+    v8c, vsc = quantize_kv(jnp.asarray(cache_kv[1]))
+    zero = (np.arange(s_len) >= slot)[None, :, None, None]
+    k8c = np.asarray(jnp.where(zero, 0, k8c))
+    v8c = np.asarray(jnp.where(zero, 0, v8c))
+    ksc = np.asarray(jnp.where(zero[..., 0], 0, ksc))
+    vsc = np.asarray(jnp.where(zero[..., 0], 0, vsc))
+
+    # ancestry: arbitrary (not necessarily a permutation — beams may
+    # share an ancestor row), group-relative source rows per position
+    anc = rng.integers(0, k_rows, (b, k_rows, s_len)).astype(np.int32)
+
+    # reference: physically gather the cache position-wise, run the
+    # direct kernel on it
+    def gather(arr):  # (BK, S, ...) -> per (audio, beam, t) from anc row
+        out = np.empty_like(arr)
+        for bi in range(b):
+            for j in range(k_rows):
+                for t in range(s_len):
+                    out[bi * k_rows + j, t] = arr[
+                        bi * k_rows + anc[bi, j, t], t]
+        return out
+
+    def to_kernel_scales(sc):
+        t = jnp.swapaxes(jnp.asarray(sc), 1, 2)          # (BK, H, S)
+        t = jnp.pad(t, ((0, 0), (0, hp - h), (0, 0)))
+        return t.reshape(b, k_rows, hp, s_len)
+
+    want = self_attn_step_int8(
+        jnp.asarray(qkv),
+        jnp.asarray(gather(k8c)).reshape(b, k_rows, s_len, d),
+        to_kernel_scales(gather(ksc)),
+        jnp.asarray(gather(v8c)).reshape(b, k_rows, s_len, d),
+        to_kernel_scales(gather(vsc)),
+        jnp.asarray(pad), jnp.asarray(slot, jnp.int32),
+        n_heads=h, interpret=True,
+    )
+    got = self_attn_step_indirect_int8(
+        jnp.asarray(qkv),
+        jnp.asarray(k8c).reshape(b, k_rows, s_len, d),
+        to_kernel_scales(ksc),
+        jnp.asarray(v8c).reshape(b, k_rows, s_len, d),
+        to_kernel_scales(vsc),
+        jnp.asarray(anc),
+        jnp.asarray(pad), jnp.asarray(slot, jnp.int32),
+        n_heads=h, interpret=True,
+    )
+    # attention outputs agree up to fp summation order (the indirect
+    # softmax denominator reduces per chunk); new-row quantization is
+    # identical code in both kernels
+    attn_w, attn_g = np.asarray(want[0]), np.asarray(got[0])
+    rel = np.abs(attn_g - attn_w).max() / (np.abs(attn_w).max() + 1e-9)
+    assert rel < 1e-4, rel
+    for i in (1, 2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(want[i]), np.asarray(got[i]))
+
+
+def test_beam_indirect_matches_gather_path():
+    """beam_decode with ancestry indirection (beam_indirect=True) selects
+    the same tokens as the physical cache-gather path."""
+    import jax
+
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.decode import (
+        DecodingOptions,
+        TokenizerInfo,
+        beam_decode,
+        pad_prompts,
+    )
+    from ttasr.models.whisper.model import encode, init_params
+    from ttasr.ops.mel import log_mel_spectrogram
+    from ttasr.ops.quant import fuse_qkv, quantize_params
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = WhisperConfig(
+        name="micro", vocab_size=tok.vocab_size, num_mel_bins=80,
+        d_model=64, encoder_layers=2, encoder_heads=4,
+        decoder_layers=2, decoder_heads=4, ffn_dim=256,
+    )
+    fparams = fuse_qkv(quantize_params(init_params(cfg, seed=0)))
+
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, 48000)).astype(np.float32) * 0.1
+    mel = log_mel_spectrogram(audio, n_mels=80)
+    ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    prompt, pad = pad_prompts(
+        [tok.sot_sequence("zh", predict_timestamps=True)] * 2, tok.eot)
+    key = jax.random.PRNGKey(0)
+    enc = encode(fparams, cfg, mel)
+
+    outs = {}
+    for indirect in (True, False):
+        opts = DecodingOptions(beam_size=3, sample_len=16, kv_int8=True,
+                               beam_indirect=indirect)
+        outs[indirect] = beam_decode(fparams, cfg, enc, prompt, pad, key,
+                                     opts=opts, ti=ti)
+    tok_i = np.asarray(outs[True]["tokens"])
+    tok_g = np.asarray(outs[False]["tokens"])
+    lengths = np.asarray(outs[False]["lengths"])
+    for bi in range(2):
+        n = int(lengths[bi])
+        assert list(tok_i[bi, :n]) == list(tok_g[bi, :n]), bi
+
+
 def test_encoder_attention_merged_matches_reference():
     """Merged-layout encoder pair-attention kernel (interpret) matches
     the XLA attention with the pad columns masked."""

@@ -383,18 +383,20 @@ def main():
         [tok.sot_sequence("zh", "transcribe", predict_timestamps=True)] * b,
         tok.eot)
     key = jax.random.PRNGKey(0)
-    beam_ms = {}
-    for n_tok in (64, 128):
-        opts = DecodingOptions(beam_size=k, sample_len=n_tok, kv_int8=True,
-                               cross_kv_int8=True)
-        t_run = timeit(
-            lambda o=opts: beam_decode(params_q, cfg, enc_out, prompt, ppad,
-                                       key, opts=o, ti=ti),
-            repeats=args.repeats)
-        beam_ms[n_tok] = t_run
-    results["beam_step_marginal"] = (beam_ms[128] - beam_ms[64]) / 64
-    results["beam64_total"] = beam_ms[64]
-    results["beam128_total"] = beam_ms[128]
+    for tag, indirect in (("", True), ("_gather", False)):
+        beam_ms = {}
+        for n_tok in (64, 128):
+            opts = DecodingOptions(beam_size=k, sample_len=n_tok,
+                                   kv_int8=True, cross_kv_int8=True,
+                                   beam_indirect=indirect)
+            t_run = timeit(
+                lambda o=opts: beam_decode(params_q, cfg, enc_out, prompt,
+                                           ppad, key, opts=o, ti=ti),
+                repeats=args.repeats)
+            beam_ms[n_tok] = t_run
+        results[f"beam_step_marginal{tag}"] = (beam_ms[128] - beam_ms[64]) / 64
+        results[f"beam64_total{tag}"] = beam_ms[64]
+        results[f"beam128_total{tag}"] = beam_ms[128]
 
     for name, t in results.items():
         print(json.dumps({"stage": name, "ms": round(t * 1e3, 3),

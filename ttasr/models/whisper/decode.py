@@ -75,6 +75,12 @@ class DecodingOptions:
     max_prompt: int = MAX_PROMPT
     kv_int8: bool = False  # int8 self-KV cache: halves decode HBM traffic
     cross_kv_int8: bool = False  # int8 cross-KV: needs a fused kernel to win
+    # Beam reorder via ancestry indirection (flat-cache kernel path only):
+    # permute a (BK, len) index map instead of physically copying the
+    # caches each step (the Pallas permuted-copy gather still cost
+    # 4.6 ms/step at batch 16 — PERF_NOTES.md round 3).  Opt-in until the
+    # TPU A/B (tools/profile_decode.py) proves the FLOP-for-copy trade.
+    beam_indirect: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,10 +231,15 @@ def _logits_at(params, hidden):
     return _unembed(hidden, params["decoder"])
 
 
-def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
+def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
+          anc=None):
     """Single-token decode at global cache slot ``slot`` (scalar int32).
 
     token: (B, 1).  pad_len: (B,) — pad slots stay masked out.
+    anc: optional (B, cache_len) int32 beam-ancestry map (group-relative
+    physical row per cache position) — beam_decode passes it on the flat
+    fused-kernel path so the self-attention kernel reads through the
+    indirection instead of a physically reordered cache.
     """
     dec = params["decoder"]
     b = token.shape[0]
@@ -280,20 +291,35 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache):
             # fused quantize + cache-read attention + in-softmax merge of
             # the new entry; caches updated AFTER with one small slice
             # write each (the kernel replaces ~19 XLA ops per layer).
-            from ttasr.ops.self_attention_pallas import self_attn_step_int8
+            from ttasr.ops.self_attention_pallas import (
+                self_attn_step_indirect_int8,
+                self_attn_step_int8,
+            )
 
             d = cfg.d_model
             hp = ks_cache.shape[1]
             cache_len = k_cache.shape[1]
-            attn_g, k8n, ksn, v8n, vsn = self_attn_step_int8(
-                qkv.reshape(b_audio, group, 3 * d),
-                k_cache.reshape(b_audio, group, cache_len, d),
-                ks_cache.reshape(b_audio, group, hp, cache_len),
-                v_cache.reshape(b_audio, group, cache_len, d),
-                vs_cache.reshape(b_audio, group, hp, cache_len),
-                pad_len.reshape(b_audio, group), slot,
-                n_heads=h, interpret=interp,
-            )
+            if anc is not None:
+                attn_g, k8n, ksn, v8n, vsn = self_attn_step_indirect_int8(
+                    qkv.reshape(b_audio, group, 3 * d),
+                    k_cache.reshape(b_audio, group, cache_len, d),
+                    ks_cache.reshape(b_audio, group, hp, cache_len),
+                    v_cache.reshape(b_audio, group, cache_len, d),
+                    vs_cache.reshape(b_audio, group, hp, cache_len),
+                    anc.reshape(b_audio, group, cache_len),
+                    pad_len.reshape(b_audio, group), slot,
+                    n_heads=h, interpret=interp,
+                )
+            else:
+                attn_g, k8n, ksn, v8n, vsn = self_attn_step_int8(
+                    qkv.reshape(b_audio, group, 3 * d),
+                    k_cache.reshape(b_audio, group, cache_len, d),
+                    ks_cache.reshape(b_audio, group, hp, cache_len),
+                    v_cache.reshape(b_audio, group, cache_len, d),
+                    vs_cache.reshape(b_audio, group, hp, cache_len),
+                    pad_len.reshape(b_audio, group), slot,
+                    n_heads=h, interpret=interp,
+                )
             attn2 = attn_g.reshape(bk, d)
 
             def sc_pad(s):
@@ -795,11 +821,17 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 
     max_prompt = prompt.shape[1]
     buckets = _growth_buckets(max_prompt, opts.sample_len)
+    flat_kv = _use_flat_kv(params, cfg, opts)
+    # Ancestry indirection: beams never physically reorder the flat
+    # caches; a (BK, len) map of group-relative source rows is permuted
+    # instead and the self-attention kernel reads through it.
+    use_indirect = flat_kv and opts.beam_indirect
+    own_row = (jnp.arange(bk, dtype=jnp.int32) % k)[:, None]
     cache = init_cache(params, cfg, enc_out,
                        max_len=buckets[0], beam_expand=k,
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8,
-                       flat_kv=_use_flat_kv(params, cfg, opts))
+                       flat_kv=flat_kv)
     hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
@@ -834,6 +866,9 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         fin_count=jnp.zeros((b,), jnp.int32),
         step=jnp.asarray(0, jnp.int32),
     )
+    if use_indirect:
+        # prefill wrote each row's own prompt -> identity ancestry
+        state["anc"] = jnp.broadcast_to(own_row, (bk, buckets[0]))
 
     def body(s):
         logits = _apply_rules(
@@ -898,7 +933,16 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         last = s["last"][sel_flat_src]
         penult = s["penult"][sel_flat_src]
         max_ts = s["max_ts"][sel_flat_src]
-        cache2 = _gather_cache(s["cache"], sel_flat_src)
+        if use_indirect:
+            # permute the 74 KB ancestry map, not the ~GB caches; the
+            # new entry this step lands in each beam's OWN physical row
+            cache2 = s["cache"]
+            anc2 = s["anc"][sel_flat_src]
+            anc2 = jax.lax.dynamic_update_slice(
+                anc2, own_row, (jnp.int32(0), max_prompt + s["step"]))
+        else:
+            cache2 = _gather_cache(s["cache"], sel_flat_src)
+            anc2 = None
 
         new_tok = sel_tok.reshape(-1)
         tokens = jax.lax.dynamic_update_slice_in_dim(
@@ -913,19 +957,29 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 
         slot_id = max_prompt + s["step"]
         new_logits, cache3 = _step(
-            params, cfg, new_tok[:, None], slot_id, pad_rep, cache2
+            params, cfg, new_tok[:, None], slot_id, pad_rep, cache2, anc2
         )
-        return dict(
+        out = dict(
             tokens=tokens, n=n, cum_logprob=cum_logprob, last=last,
             penult=penult, max_ts=max_ts,
             logits=new_logits.astype(jnp.float32), cache=cache3,
             fin_tokens=fin_tokens, fin_len=fin_len, fin_logprob=fin_logprob,
             fin_count=fin_count, step=s["step"] + 1,
         )
+        if use_indirect:
+            out["anc"] = anc2
+        return out
 
     s = state
     for bucket_len in buckets:
         s = dict(s, cache=_pad_cache_to(s["cache"], bucket_len))
+        if use_indirect:
+            cur_len = s["anc"].shape[1]
+            if cur_len < bucket_len:
+                s["anc"] = jnp.concatenate(
+                    [s["anc"],
+                     jnp.broadcast_to(own_row, (bk, bucket_len - cur_len))],
+                    axis=1)
         cap = bucket_len - max_prompt
 
         def bucket_cond(st, _cap=cap):

@@ -214,3 +214,200 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
         interpret=interpret,
     )(slot_arr, pad_arr, qkv, k8, ks, v8, vs)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
+                                 n_heads: int, interpret: bool = False):
+    """Ancestry-indirect variant of :func:`self_attn_step_int8` for beam
+    search: the caches are NEVER physically reordered after a beam select.
+
+    ``anc`` (B, K, len) int32 records, for beam row j and cache position
+    t, WHICH physical row of the audio's K-row cache holds beam j's
+    entry at t (beam_decode permutes anc rows — 74 KB — instead of the
+    ~2 GB cache; PERF_NOTES.md round 3: the Pallas permuted-copy gather
+    still cost 4.6 ms/step at batch 16).
+
+    Formulation: all K beams' Q_diag matrices stack into ONE
+    (K*HP, D) operand — K*HP ≈ 120 rows fills the MXU sublane tile that
+    the per-beam (HP=24, D) matmuls left 80 % empty — and score every
+    physical row r's keys: scores_r = Q_stack @ K_rᵀ.  Beam j's softmax
+    sees position t of chunk r only where ``anc[j, t] == r``; invalid
+    entries mask to -inf so their exp contributes an exact 0 — the
+    result equals attending over a physically gathered cache up to fp
+    summation order (the softmax denominator reduces per chunk).  The
+    K× FLOP overhead lands on a unit that is ~95 % idle during decode.
+
+    Args match self_attn_step_int8 plus ``anc``; returns the same
+    5-tuple.  The caller writes the *_new rows at (row j, slot) and sets
+    ``anc[:, j, slot] = j``.
+    """
+    b, k_rows, d3 = qkv.shape
+    d = d3 // 3
+    h = n_heads
+    dh = d // h
+    assert dh == 64, "kernel assumes head_dim 64"
+    s_len = k8.shape[2]
+    hp = ks.shape[2]
+    assert hp == ((h + 7) // 8) * 8, (hp, h)
+    kh = k_rows * hp
+    qscale = dh ** -0.5
+
+    slot_arr = jnp.asarray(slot, jnp.int32).reshape(1, 1)
+    pad_arr = pad_len.astype(jnp.int32).reshape(b, k_rows)
+
+    def kernel(slot_ref, pad_ref, qkv_ref, anc_ref, k_ref, ks_ref, v_ref,
+               vs_ref, attn_ref, k8n_ref, ksn_ref, v8n_ref, vsn_ref):
+        cur = slot_ref[0, 0]
+        prog = pl.program_id(0)
+        col_d = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+        head_of_col = col_d // dh                      # (1, D)
+        head_of_col_k = jnp.broadcast_to(head_of_col, (k_rows, d))
+        col_h_k = jax.lax.broadcasted_iota(jnp.int32, (k_rows, h), 1)
+        seg_dh = (jax.lax.broadcasted_iota(jnp.int32, (d, h), 0) // dh
+                  == jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+                  ).astype(jnp.float32)                # (D, H)
+        hp_oh = (jax.lax.broadcasted_iota(jnp.int32, (hp, h), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (hp, h), 1)
+                 ).astype(jnp.float32)                 # (HP, H)
+        # stacked-row index helpers: row -> (beam = row // HP, head = row % HP)
+        row_kh_d = jax.lax.broadcasted_iota(jnp.int32, (kh, d), 0)
+        head_row_d = row_kh_d - (row_kh_d // hp) * hp  # (KH, D) row % HP
+        diag_kh = head_row_d == head_of_col            # (KH, D)
+        row_kh_1 = jax.lax.broadcasted_iota(jnp.int32, (kh, 1), 0)
+        beam_row_1 = row_kh_1 // hp                    # (KH, 1)
+        col_len = jax.lax.broadcasted_iota(jnp.int32, (kh, s_len), 1)
+        row_kh_len = jax.lax.broadcasted_iota(jnp.int32, (kh, s_len), 0)
+        head_row_len = row_kh_len - (row_kh_len // hp) * hp
+
+        def quantize_rows(x):
+            ax = jnp.abs(x)
+            scale_cols = jnp.zeros((k_rows, d), jnp.float32)
+            scale_heads = jnp.zeros((k_rows, h), jnp.float32)
+            for hh in range(h):
+                m = jnp.max(jnp.where(head_of_col_k == hh, ax, 0.0),
+                            axis=1, keepdims=True)      # (K, 1)
+                sc = jnp.maximum(m, 1e-8) / 127.0
+                scale_cols = jnp.where(head_of_col_k == hh, sc, scale_cols)
+                scale_heads = jnp.where(col_h_k == hh, sc, scale_heads)
+            q8 = jnp.clip(jnp.round(x / scale_cols), -127, 127)
+            return q8.astype(jnp.int8), scale_cols, scale_heads
+
+        q_all = qkv_ref[0, :, :d] * qscale              # (K, D)
+        k_new = qkv_ref[0, :, d : 2 * d]
+        v_new = qkv_ref[0, :, 2 * d : 3 * d]
+        k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
+        v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
+        k8n_ref[0] = k8a
+        v8n_ref[0] = v8a
+        ksn_ref[0] = ksc_heads
+        vsn_ref[0] = vsc_heads
+
+        # self-term dots for every (beam, head): see self_attn_step_int8
+        prod_all = (q_all.astype(jnp.bfloat16).astype(jnp.float32)
+                    * k8a.astype(jnp.float32))          # (K, D)
+        d_self = jax.lax.dot_general(
+            prod_all, seg_dh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                               # (K, H)
+        s_self_all = d_self * ksc_heads                 # (K, H)
+        # score-row layout (KH, 1): beam j's heads at rows j*HP..j*HP+H-1
+        s_self_rows = jnp.concatenate(
+            [jax.lax.dot_general(
+                hp_oh, s_self_all[j : j + 1], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) for j in range(k_rows)], axis=0)          # (KH, 1)
+
+        # stacked Q_diag for ALL beams: rows j*HP+hh hold q_j's head-hh
+        # columns (beam-major repeat, then the diagonal head mask)
+        q_rep = jnp.broadcast_to(
+            q_all[:, None, :], (k_rows, hp, d)).reshape(kh, d)
+        q_stack = jnp.where(diag_kh, q_rep, 0.0).astype(jnp.bfloat16)
+
+        # beam-major repeats of the ancestry map and per-beam pad lens
+        anc_rep = jnp.broadcast_to(
+            anc_ref[0][:, None, :], (k_rows, hp, s_len)).reshape(kh, s_len)
+        pad_row = jnp.zeros((kh, 1), jnp.int32)
+        for j in range(k_rows):
+            pad_row = jnp.where(beam_row_1 == j, pad_ref[prog, j], pad_row)
+        base_valid = ((col_len < cur) & (col_len >= pad_row)
+                      & (head_row_len < h))             # (KH, len)
+
+        # pass 1: score every physical row's keys (one chunk per row)
+        chunk_scores = []
+        for r in range(k_rows):
+            keys = k_ref[0, r].astype(jnp.bfloat16)     # (len, D)
+            sc = jax.lax.dot_general(
+                q_stack, keys, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # (KH, len)
+            ks_rep = jnp.broadcast_to(
+                ks_ref[0, r][None], (k_rows, hp, s_len)).reshape(kh, s_len)
+            sc = sc * ks_rep
+            sc = jnp.where(base_valid & (anc_rep == r), sc, NEG_INF)
+            chunk_scores.append(sc)
+
+        m = s_self_rows
+        for sc in chunk_scores:
+            m = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+        e_self = jnp.exp(s_self_rows - m)
+        denom = e_self
+        e_chunks = []
+        for sc in chunk_scores:
+            e = jnp.exp(sc - m)
+            e_chunks.append(e)
+            denom = denom + jnp.sum(e, axis=1, keepdims=True)
+
+        # pass 2: accumulate each chunk's value contribution
+        acc = jnp.zeros((kh, d), jnp.float32)
+        for r in range(k_rows):
+            vs_rep = jnp.broadcast_to(
+                vs_ref[0, r][None], (k_rows, hp, s_len)).reshape(kh, s_len)
+            probs_scaled = (e_chunks[r] / denom * vs_rep).astype(jnp.bfloat16)
+            vals = v_ref[0, r].astype(jnp.bfloat16)     # (len, D)
+            acc = acc + jax.lax.dot_general(
+                probs_scaled, vals, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        p_self = e_self / denom                         # (KH, 1)
+        vq_rep = jnp.broadcast_to(
+            (v8a.astype(jnp.float32) * vsc_cols)[:, None, :],
+            (k_rows, hp, d)).reshape(kh, d)
+        acc = acc + p_self * vq_rep
+
+        merged = jnp.sum(
+            jnp.where(diag_kh, acc, 0.0).reshape(k_rows, hp, d), axis=1)
+        attn_ref[0] = merged                            # (K, D)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # slot (1,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # pad (B,K)
+            pl.BlockSpec((1, k_rows, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k_rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
+        ),
+        interpret=interpret,
+    )(slot_arr, pad_arr, qkv, anc.astype(jnp.int32), k8, ks, v8, vs)
+    return out
