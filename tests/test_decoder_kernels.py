@@ -447,7 +447,10 @@ def test_self_attn_indirect_kernel_matches_gathered():
 
 def test_beam_indirect_matches_gather_path():
     """beam_decode with ancestry indirection (beam_indirect=True) selects
-    the same tokens as the physical cache-gather path."""
+    the same tokens as the physical cache-gather path.
+
+    sample_len=40 crosses the 32-token growth bucket so the ancestry
+    map's pad-and-carry across a cache regrow is exercised too."""
     import jax
 
     from ttasr.models.whisper.config import WhisperConfig
@@ -481,7 +484,7 @@ def test_beam_indirect_matches_gather_path():
 
     outs = {}
     for indirect in (True, False):
-        opts = DecodingOptions(beam_size=3, sample_len=16, kv_int8=True,
+        opts = DecodingOptions(beam_size=3, sample_len=40, kv_int8=True,
                                beam_indirect=indirect)
         outs[indirect] = beam_decode(fparams, cfg, enc, prompt, pad, key,
                                      opts=opts, ti=ti)
