@@ -13,6 +13,10 @@ program with fixed-shape slots:
   collator groups compatible requests (same DecodingOptions) per step,
   and the greedy program takes per-row temperatures, so windows at
   different fallback rungs still share a batch,
+- one group decodes per sweep and arrivals re-rank between sweeps:
+  latency-priority requests (streaming partials, ``priority=1``) order
+  ahead of bulk task-API groups, with starvation aging so bulk work
+  still progresses under a steady partial stream,
 - the jitted mel+encode+decode pipeline runs in a worker thread (the
   event loop never blocks), and each request's future resolves with its
   row of the batch.
@@ -55,6 +59,7 @@ class WindowRequest:
     opts: DecodingOptions              # per-request decode options
     temperature: float = 0.0           # fallback-ladder rung
     return_enc: bool = False           # include encoder row (word align)
+    priority: int = 0                  # higher decodes sooner (streaming=1)
     submitted_at: float = dataclasses.field(default_factory=time.time)
 
     @property
@@ -131,10 +136,15 @@ class BatchServer:
 
     def __init__(self, engine, *, slots: int = 4, beam_size: int = 5,
                  sample_len: int = 224, linger_ms: float = 5.0,
-                 without_timestamps: bool = False):
+                 without_timestamps: bool = False,
+                 starvation_ms: float = 2000.0):
         self.engine = engine
         self.slots = slots
         self.linger_s = linger_ms / 1000.0
+        # a group whose oldest request waited this long decodes next
+        # regardless of priority (bulk work cannot starve under a
+        # steady stream of priority partials)
+        self.starvation_s = starvation_ms / 1000.0
         self.ti = engine.ti
         kv_int8 = getattr(engine, "kv_cache_int8", False)
         self.opts = DecodingOptions(
@@ -153,6 +163,7 @@ class BatchServer:
         self._stop = False
         self._steps = 0
         self._served = 0
+        self._pool: List[WindowRequest] = []
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -174,8 +185,9 @@ class BatchServer:
     @property
     def stats(self) -> dict:
         return {"steps": self._steps, "served": self._served,
-                "slots": self.slots, "pending": self._queue.qsize()
-                if self._queue else 0}
+                "slots": self.slots,
+                "pending": len(self._pool) + (self._queue.qsize()
+                                              if self._queue else 0)}
 
     # -- request path --------------------------------------------------------
 
@@ -186,12 +198,14 @@ class BatchServer:
                                 without_timestamps: Optional[bool] = None,
                                 sample_len: Optional[int] = None,
                                 opts: Optional[DecodingOptions] = None,
-                                return_enc: bool = False) -> WindowResult:
+                                return_enc: bool = False,
+                                priority: int = 0) -> WindowResult:
         """Decode one window.  Per-request overrides (beam_size /
         without_timestamps / sample_len, or a full ``opts``) batch with
         other requests that share the same resolved options;
         ``temperature`` picks the fallback rung (>0 switches from beam
-        to sampling)."""
+        to sampling).  ``priority`` > 0 (streaming partials) orders the
+        request's group ahead of bulk groups between decode steps."""
         if opts is None:
             overrides = {}
             if beam_size is not None:
@@ -207,49 +221,74 @@ class BatchServer:
         await self._queue.put(WindowRequest(
             audio, list(prompt_ids), fut, loop, opts,
             temperature=float(temperature), return_enc=return_enc,
+            priority=int(priority),
         ))
         return await fut
 
     # -- batching loop ---------------------------------------------------------
 
     async def _run(self) -> None:
+        pending = self._pool
         while not self._stop:
-            first = await self._queue.get()
-            batch = [first]
-            deadline = time.time() + self.linger_s
-            while len(batch) < self.slots:
-                timeout = deadline - time.time()
-                if timeout <= 0:
-                    break
+            if not pending:
+                pending.append(await self._queue.get())
+                deadline = time.time() + self.linger_s
+                while len(pending) < self.slots:
+                    timeout = deadline - time.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        pending.append(await asyncio.wait_for(
+                            self._queue.get(), timeout=timeout))
+                    except asyncio.TimeoutError:
+                        break
+            # absorb everything queued: group ranking must see ALL
+            # waiting work so a priority partial that arrived during the
+            # previous decode overtakes queued bulk groups
+            while True:
                 try:
-                    batch.append(await asyncio.wait_for(
-                        self._queue.get(), timeout=timeout))
-                except asyncio.TimeoutError:
+                    pending.append(self._queue.get_nowait())
+                except asyncio.QueueEmpty:
                     break
-            # group compatible requests; each group is one decode call
-            groups: List[List[WindowRequest]] = []
-            by_key = {}
-            for req in batch:
-                key = req.group_key
-                if key not in by_key:
-                    by_key[key] = []
-                    groups.append(by_key[key])
-                by_key[key].append(req)
-            for group in groups:
-                try:
-                    results = await asyncio.get_running_loop().run_in_executor(
-                        None, self._decode_batch, group
-                    )
-                    for req, res in zip(group, results):
-                        if not req.future.done():
-                            req.future.set_result(res)
-                except Exception as exc:
-                    logger.exception("batch decode failed")
-                    for req in group:
-                        if not req.future.done():
-                            req.future.set_exception(exc)
-                self._steps += 1
-                self._served += len(group)
+            # group compatible requests; decode ONE group per sweep so
+            # new arrivals re-rank between steps (a slow beam group no
+            # longer head-of-line-blocks streaming partials behind it)
+            by_key: dict = {}
+            for req in pending:
+                by_key.setdefault(req.group_key, []).append(req)
+            now = time.time()
+
+            def rank(group):
+                oldest = min(r.submitted_at for r in group)
+                if now - oldest >= self.starvation_s:
+                    return (0, 0, oldest)          # starved: age order
+                return (1, -max(r.priority for r in group), oldest)
+
+            group = min(by_key.values(), key=rank)
+            # slot cap within the group: starved members, then priority,
+            # then age (a priority partial sharing a bulk group's key
+            # must not lose its slot to older bulk members)
+            group.sort(key=lambda r: (
+                (0, 0, r.submitted_at)
+                if now - r.submitted_at >= self.starvation_s
+                else (1, -r.priority, r.submitted_at)))
+            group = group[: self.slots]
+            taken = {id(r) for r in group}
+            pending[:] = [r for r in pending if id(r) not in taken]
+            try:
+                results = await asyncio.get_running_loop().run_in_executor(
+                    None, self._decode_batch, group
+                )
+                for req, res in zip(group, results):
+                    if not req.future.done():
+                        req.future.set_result(res)
+            except Exception as exc:
+                logger.exception("batch decode failed")
+                for req in group:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+            self._steps += 1
+            self._served += len(group)
 
     # -- device work (runs in executor thread) -------------------------------
 

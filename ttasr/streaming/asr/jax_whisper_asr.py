@@ -188,7 +188,7 @@ class JaxWhisperASR(ASRInterface):
         )
         budget = self._token_budget(len(audio) / 16000)
         result = await self.server.transcribe_window(
-            audio, prompt, sample_len=budget)
+            audio, prompt, sample_len=budget, priority=1)
         if len(result.tokens) >= budget:
             # no eot within budget: the partial may be truncated (dense zh
             # + timestamp tokens can approach ~10 tok/s — ADVICE round 2);
