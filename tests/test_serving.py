@@ -378,3 +378,28 @@ def test_priority_starvation_aging(engine):
     # past starvation_ms it beat the remaining priority partials
     last_bulk = max(i for i, p in enumerate(order) if p == 0)
     assert last_bulk < len(order) - 1, order
+
+
+def test_int16_requests_match_float32(engine):
+    """int16 PCM through the server (device-side /32768 conversion,
+    half the relay upload) decodes to the SAME tokens as the float32
+    conversion of the same PCM, and the dtypes batch separately."""
+    async def run():
+        server = BatchServer(engine, slots=2, beam_size=1, sample_len=8,
+                             linger_ms=1)
+        await server.start()
+        try:
+            prompt = TOK.sot_sequence("zh", predict_timestamps=True)
+            pcm = (np.clip(_audio(3), -1, 1) * 32767).astype(np.int16)
+            r_i16, r_f32 = await asyncio.gather(
+                server.transcribe_window(pcm, prompt),
+                server.transcribe_window(
+                    pcm.astype(np.float32) / 32768.0, prompt),
+            )
+            return r_i16, r_f32
+        finally:
+            await server.stop()
+
+    r_i16, r_f32 = asyncio.run(run())
+    assert r_i16.tokens == r_f32.tokens
+    assert r_i16.sum_logprob == pytest.approx(r_f32.sum_logprob, rel=1e-5)

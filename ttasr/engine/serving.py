@@ -64,9 +64,14 @@ class WindowRequest:
 
     @property
     def group_key(self) -> Tuple:
-        """Requests with equal keys share one compiled decode call."""
+        """Requests with equal keys share one compiled decode call.
+
+        Audio dtype is part of the key: int16 PCM uploads as-is and
+        converts on device (exact /32768 — half the relay bytes), which
+        is a different compiled mel+encode program than float32."""
         is_beam = self.temperature == 0.0 and self.opts.beam_size > 1
-        return (self.opts, is_beam)
+        is_i16 = np.asarray(self.audio).dtype == np.int16
+        return (self.opts, is_beam, is_i16)
 
 
 @dataclasses.dataclass
@@ -296,13 +301,15 @@ class BatchServer:
         import jax
 
         engine = self.engine
-        opts, is_beam = batch[0].group_key
+        opts, is_beam, is_i16 = batch[0].group_key
         n = len(batch)
-        audio = np.zeros((self.slots, N_SAMPLES), np.float32)
+        # int16 groups ship PCM as-is; the device converts (exact /32768)
+        dt = np.int16 if is_i16 else np.float32
+        audio = np.zeros((self.slots, N_SAMPLES), dt)
         prompts: List[Sequence[int]] = []
         temps = np.zeros((self.slots,), np.float32)
         for i, req in enumerate(batch):
-            a = np.asarray(req.audio, np.float32)[:N_SAMPLES]
+            a = np.asarray(req.audio, dt)[:N_SAMPLES]
             audio[i, : len(a)] = a
             prompts.append(req.prompt_ids)
             temps[i] = req.temperature

@@ -116,11 +116,18 @@ class JaxWhisperASR(ASRInterface):
 
     async def transcribe(self, client) -> Optional[dict]:
         try:
-            audio = pcm16_bytes_to_float32(bytes(client.scratch_buffer))
+            raw = bytes(client.scratch_buffer)
+            if self.server is not None:
+                # ship PCM16 as-is through the batch server: the device
+                # converts (exact /32768), halving the per-chunk upload
+                # through the relay (PERF_NOTES.md int16 PCM transfer)
+                audio = np.frombuffer(raw, dtype="<i2")
+                if len(audio) == 0:
+                    return None
+                return await self._transcribe_batched(audio, client)
+            audio = pcm16_bytes_to_float32(raw)
             if len(audio) == 0:
                 return None
-            if self.server is not None:
-                return await self._transcribe_batched(audio, client)
             language = "zh"
             kwargs = dict(self.default_transcribe_kwargs)
             kwargs["language"] = language
@@ -234,13 +241,16 @@ class JaxWhisperASR(ASRInterface):
         # accumulating, and an unwarmed bucket is a 20 s-5 min remote
         # compile landing on a live stream (ADVICE round 2)
         for seconds in (1.5, 6.0, 13.0):
-            audio = np.zeros(int(16000 * seconds), np.float32)
             budget = self._token_budget(seconds)
             try:
                 if self.server is not None:
+                    # int16 zeros: live chunks ship PCM16, so warm THAT
+                    # compiled mel+encode program, not the float32 one
+                    audio = np.zeros(int(16000 * seconds), np.int16)
                     await self.server.transcribe_window(
                         audio, prompt, sample_len=budget)
                 else:
+                    audio = np.zeros(int(16000 * seconds), np.float32)
                     loop = asyncio.get_running_loop()
                     await loop.run_in_executor(
                         None, lambda a=audio, b=budget: self.engine.transcribe(
