@@ -106,3 +106,30 @@ def test_wav_bytes_helper():
     audio = _sine(500)
     parsed, sr = read_wav_bytes(wav_bytes(audio))
     assert sr == 16000 and len(parsed) == 500
+
+
+def test_load_audio_int16_passthrough(tmp_path):
+    """int16=True returns raw PCM16 for mono 16 kHz WAVs (uploaded
+    unconverted; /32768 happens on device) and matches the f32 load."""
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000) * 0.2).clip(-1, 1).astype(np.float32)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, audio, 16000)
+
+    i16, sr = load_audio(path, int16=True)
+    f32, _ = load_audio(path)
+    assert sr == 16000
+    assert i16.dtype == np.int16
+    np.testing.assert_allclose(i16.astype(np.float32) / 32768.0, f32,
+                               rtol=0, atol=0)
+
+
+def test_load_audio_int16_falls_back_on_resample(tmp_path):
+    """A 44.1 kHz source cannot stay int16 (resampling is float)."""
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal(44100) * 0.2).clip(-1, 1).astype(np.float32)
+    path = str(tmp_path / "b.wav")
+    write_wav(path, audio, 44100)
+    out, sr = load_audio(path, int16=True)
+    assert sr == 16000
+    assert out.dtype == np.float32

@@ -203,3 +203,23 @@ def test_best_of_one_keeps_single_decode(engine):
         condition_on_previous_text=False,
     )
     assert isinstance(segments, list)
+
+
+def test_transcribe_path_int16_equals_float32(engine, tmp_path):
+    """Loading a PCM16 WAV by path (auto-int16 master; device /32768)
+    yields the same segments as the float32 array path — VAD gating,
+    windowing, and decode all dtype-agnostic."""
+    from ttasr.audio.io import load_audio, write_wav
+
+    audio = _speechy_audio(2.0)
+    path = str(tmp_path / "s.wav")
+    write_wav(path, audio, 16000)
+    f32, _ = load_audio(path)  # post write/read quantization, f32
+
+    kwargs = dict(language="zh", beam_size=2, vad_filter=True,
+                  max_new_tokens=8, temperature=(0.0,))
+    seg_path, info_path = engine.transcribe(path, **kwargs)
+    seg_f32, info_f32 = engine.transcribe(f32, **kwargs)
+    key = lambda s: (s.start, s.end, s.text, tuple(s.tokens))
+    assert [key(s) for s in seg_path] == [key(s) for s in seg_f32]
+    assert info_path.duration == info_f32.duration

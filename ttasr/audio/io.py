@@ -38,10 +38,14 @@ def float32_to_pcm16_bytes(audio: np.ndarray) -> bytes:
     return (clipped * 32767.0).astype("<i2").tobytes()
 
 
-def read_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+def read_wav_bytes(data: bytes, *, int16: bool = False
+                   ) -> Tuple[np.ndarray, int]:
     """Parse a RIFF/WAVE byte string -> (float32 [channels, n] or [n], rate).
 
-    Supports PCM 8/16/24/32-bit and IEEE float32/64.
+    Supports PCM 8/16/24/32-bit and IEEE float32/64.  ``int16=True``
+    returns mono PCM16 payloads as raw ``int16`` (no /32768 scaling) so
+    they can upload to the device unconverted — half the relay bytes;
+    every other layout still decodes to float32.
     """
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -64,7 +68,10 @@ def read_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         audio_format = 1
     if audio_format == 1:  # integer PCM
         if bits == 16:
-            samples = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+            raw16 = np.frombuffer(payload, dtype="<i2")
+            if int16 and channels == 1:
+                return raw16, rate
+            samples = raw16.astype(np.float32) / 32768.0
         elif bits == 32:
             samples = np.frombuffer(payload, dtype="<i4").astype(np.float32) / 2147483648.0
         elif bits == 8:
@@ -91,7 +98,8 @@ def read_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     return samples, rate
 
 
-def _decode_via_ffmpeg(path: str, sr: int) -> np.ndarray:
+def _decode_via_ffmpeg(path: str, sr: int, *, int16: bool = False
+                       ) -> np.ndarray:
     ffmpeg = shutil.which("ffmpeg")
     if not ffmpeg:
         raise RuntimeError(
@@ -105,6 +113,8 @@ def _decode_via_ffmpeg(path: str, sr: int) -> np.ndarray:
     proc = subprocess.run(cmd, capture_output=True, check=False)
     if proc.returncode != 0:
         raise RuntimeError(f"ffmpeg decode failed: {proc.stderr[-500:].decode(errors='replace')}")
+    if int16:  # already s16le mono at the target rate: keep PCM16
+        return np.frombuffer(proc.stdout, dtype="<i2")
     return pcm16_bytes_to_float32(proc.stdout)
 
 
@@ -112,26 +122,36 @@ def load_audio(
     path_or_bytes: Union[str, bytes],
     sr: int = 16000,
     mono: bool = True,
+    int16: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Decode an audio file to float32 at ``sr`` Hz.
 
     Returns ``(audio, sr)`` like librosa.load.  ``mono=True`` averages
-    channels; the result is always C-contiguous float32.
+    channels; the result is C-contiguous float32 — unless ``int16=True``
+    AND the source decodes losslessly to mono PCM16 at ``sr``, in which
+    case raw int16 samples return instead (the engine uploads them
+    unconverted; the device does the exact /32768 — PERF_NOTES.md int16
+    PCM transfer).
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
-        audio, native_sr = read_wav_bytes(data)
+        audio, native_sr = read_wav_bytes(data, int16=int16)
     else:
         ext = os.path.splitext(path_or_bytes)[1].lower()
         if ext == ".wav":
             with open(path_or_bytes, "rb") as fh:
-                audio, native_sr = read_wav_bytes(fh.read())
+                audio, native_sr = read_wav_bytes(fh.read(), int16=int16)
         else:
-            return np.ascontiguousarray(_decode_via_ffmpeg(path_or_bytes, sr)), sr
+            return np.ascontiguousarray(
+                _decode_via_ffmpeg(path_or_bytes, sr, int16=int16)), sr
     if audio.ndim > 1 and mono:
         audio = audio.mean(axis=0)
     if native_sr != sr:
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
         audio = resample_poly_host(audio, native_sr, sr)
+    if audio.dtype == np.int16:
+        return np.ascontiguousarray(audio), sr
     return np.ascontiguousarray(audio, dtype=np.float32), sr
 
 

@@ -83,6 +83,8 @@ def speech_probabilities(audio: np.ndarray) -> np.ndarray:
         return np.zeros((0,), np.float32)
     import os
 
+    if audio.dtype == np.int16:  # raw PCM16 master: scale to [-1, 1]
+        audio = audio.astype(np.float32) / 32768.0
     energy = _energy_prob(np.asarray(audio, np.float32))
     if os.environ.get("TTASR_VAD_HEURISTIC") != "1":
         from ttasr.audio.vad_model import vad_probabilities

@@ -166,6 +166,8 @@ def vad_probabilities(audio: np.ndarray) -> Optional[np.ndarray]:
         return None
     if len(audio) < WINDOW:
         return np.zeros((0,), np.float32)
+    if audio.dtype == np.int16:  # raw PCM16 master: scale to [-1, 1]
+        audio = audio.astype(np.float32) / 32768.0
     logmel = _log_mel_frames_np(np.asarray(audio, np.float32),
                                 mel_filterbank())
     return _forward_np(params, logmel).astype(np.float32)

@@ -83,6 +83,25 @@ class TranscribeOptions:
     kv_cache_int8: Optional[bool] = None  # None -> engine default
 
 
+def _host_f32(audio: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] view for HOST-side analysis (VAD, energy): int16
+    masters stay int16 for the device upload (exact /32768 on device)."""
+    if audio.dtype == np.int16:
+        return audio.astype(np.float32) / 32768.0
+    return audio
+
+
+def _as_master(audio) -> np.ndarray:
+    """Normalize caller audio: int16 passes through (device converts),
+    anything else becomes mono float32."""
+    a = np.asarray(audio)
+    if a.ndim > 1:
+        a = np.asarray(a, dtype=np.float32).mean(axis=0)
+    if a.dtype != np.int16:
+        a = np.asarray(a, dtype=np.float32)
+    return a
+
+
 def _parse_transcribe_kwargs(kwargs: dict) -> "TranscribeOptions":
     """faster-whisper-style kwargs -> TranscribeOptions: alias mapping,
     unknown-field tolerance, scalar-temperature normalization.  Shared
@@ -301,8 +320,8 @@ class WhisperEngine:
         import jax
 
         if isinstance(audio, (str, bytes)):
-            audio, _ = load_audio(audio, sr=SAMPLE_RATE)
-        audio = np.asarray(audio, dtype=np.float32)[:N_SAMPLES]
+            audio, _ = load_audio(audio, sr=SAMPLE_RATE, int16=True)
+        audio = _as_master(audio)[:N_SAMPLES]
         enc_out = self.encode_windows(audio[None])
 
         if not hasattr(self, "_lang_logits_fn"):
@@ -339,10 +358,10 @@ class WhisperEngine:
         opts = _parse_transcribe_kwargs(kwargs)
 
         if isinstance(audio, (str, bytes)):
-            audio, _ = load_audio(audio, sr=SAMPLE_RATE)
-        audio = np.asarray(audio, dtype=np.float32)
-        if audio.ndim > 1:
-            audio = audio.mean(axis=0)
+            # PCM16 sources stay int16: the device converts (exact
+            # /32768), halving every window's host->device upload
+            audio, _ = load_audio(audio, sr=SAMPLE_RATE, int16=True)
+        audio = _as_master(audio)
         duration = len(audio) / SAMPLE_RATE
 
         language_probability = 1.0
@@ -354,7 +373,7 @@ class WhisperEngine:
         speech_chunks = None
         if opts.vad_filter:
             vad_opts = opts.vad_parameters or VadOptions()
-            speech_chunks = get_speech_timestamps(audio, vad_opts)
+            speech_chunks = get_speech_timestamps(_host_f32(audio), vad_opts)
             audio_vad = collect_chunks(audio, speech_chunks)
             duration_after_vad = len(audio_vad) / SAMPLE_RATE
             audio = audio_vad
@@ -455,17 +474,15 @@ class WhisperEngine:
         """
         opts = _parse_transcribe_kwargs(kwargs)
         if isinstance(audio, (str, bytes)):
-            audio, _ = load_audio(audio, sr=SAMPLE_RATE)
-        audio = np.asarray(audio, dtype=np.float32)
-        if audio.ndim > 1:
-            audio = audio.mean(axis=0)
+            audio, _ = load_audio(audio, sr=SAMPLE_RATE, int16=True)
+        audio = _as_master(audio)
         duration = len(audio) / SAMPLE_RATE
 
         speech_chunks = None
         duration_after_vad = duration
         if opts.vad_filter:
             speech_chunks = get_speech_timestamps(
-                audio, opts.vad_parameters or VadOptions()
+                _host_f32(audio), opts.vad_parameters or VadOptions()
             )
             audio = collect_chunks(audio, speech_chunks)
             duration_after_vad = len(audio) / SAMPLE_RATE
