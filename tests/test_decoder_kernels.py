@@ -457,6 +457,7 @@ def test_beam_indirect_matches_gather_path():
     from ttasr.models.whisper.decode import (
         DecodingOptions,
         TokenizerInfo,
+        _use_flat_kv,
         beam_decode,
         pad_prompts,
     )
@@ -466,10 +467,12 @@ def test_beam_indirect_matches_gather_path():
     from ttasr.text.tokenizer import build_byte_fallback_tokenizer
 
     tok = build_byte_fallback_tokenizer()
+    # head_dim MUST be 64: _use_flat_kv gates the fused-kernel (and
+    # therefore indirect) path on d_model // decoder_heads == 64
     cfg = WhisperConfig(
         name="micro", vocab_size=tok.vocab_size, num_mel_bins=80,
-        d_model=64, encoder_layers=2, encoder_heads=4,
-        decoder_layers=2, decoder_heads=4, ffn_dim=256,
+        d_model=128, encoder_layers=2, encoder_heads=2,
+        decoder_layers=2, decoder_heads=2, ffn_dim=256,
     )
     fparams = fuse_qkv(quantize_params(init_params(cfg, seed=0)))
 
@@ -486,6 +489,10 @@ def test_beam_indirect_matches_gather_path():
     for indirect in (True, False):
         opts = DecodingOptions(beam_size=3, sample_len=40, kv_int8=True,
                                beam_indirect=indirect)
+        # guard against vacuity: the flat fused path must be active, or
+        # beam_indirect is silently ignored and this test compares a run
+        # against itself
+        assert _use_flat_kv(fparams, cfg, opts)
         outs[indirect] = beam_decode(fparams, cfg, enc, prompt, pad, key,
                                      opts=opts, ti=ti)
     tok_i = np.asarray(outs[True]["tokens"])

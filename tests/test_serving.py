@@ -403,3 +403,36 @@ def test_int16_requests_match_float32(engine):
     r_i16, r_f32 = asyncio.run(run())
     assert r_i16.tokens == r_f32.tokens
     assert r_i16.sum_logprob == pytest.approx(r_f32.sum_logprob, rel=1e-5)
+
+
+def test_stop_fails_stranded_requests(engine):
+    """stop() must resolve (with an exception) every request still in
+    flight, pooled, or queued — callers' awaits cannot hang past stop()
+    (code-review round 3: the pool rework made stranding possible)."""
+    import time as _time
+
+    async def run():
+        server = BatchServer(engine, slots=1, beam_size=1, sample_len=8,
+                             linger_ms=1)
+        await server.start()
+        prompt = TOK.sot_sequence("zh", predict_timestamps=True)
+        await server.transcribe_window(_audio(99), prompt)  # compile
+        real = server._decode_batch
+
+        def slow(group):
+            _time.sleep(0.2)
+            return real(group)
+
+        server._decode_batch = slow
+        futs = [asyncio.ensure_future(server.transcribe_window(_audio(i),
+                                                               prompt))
+                for i in range(3)]
+        await asyncio.sleep(0.05)       # first decode in flight
+        await server.stop()
+        return await asyncio.gather(*futs, return_exceptions=True)
+
+    results = asyncio.run(run())
+    assert len(results) == 3
+    for r in results:
+        assert isinstance(r, Exception) or hasattr(r, "tokens")
+    assert any(isinstance(r, Exception) for r in results)

@@ -142,3 +142,36 @@ def test_transients_shed_while_behind(monkeypatch):
         assert len(ws2.sent) == 0  # shed
 
     asyncio.run(run())
+
+
+def test_backlog_flushes_without_further_messages(monkeypatch):
+    """A backlog that merged while a decode was in flight must be decoded
+    even if the client sends NOTHING afterwards: process_audio only runs
+    on incoming messages, so the decode's completion re-triggers it
+    (code-review round 3: merged audio stranded forever otherwise)."""
+    monkeypatch.delenv("BUFFERING_CHUNK_LENGTH_SECONDS", raising=False)
+    monkeypatch.delenv("BUFFERING_CHUNK_OFFSET_SECONDS", raising=False)
+
+    async def run():
+        client = _client(chunk_s=1.0)
+        strat = client.buffering_strategy
+        asr, vad, ws = SlowASR(delay=0.3), PassVAD(), FakeWS()
+
+        client.append_audio_data(_pcm_seconds(2.2))
+        strat.process_audio(ws, vad, asr)
+        await asyncio.sleep(0.05)
+        assert asr.active == 1
+
+        # the client's LAST audio arrives mid-decode and merges...
+        client.append_audio_data(_pcm_seconds(2.5))
+        strat.process_audio(ws, vad, asr)
+        assert strat.behind is True
+
+        # ...and the client goes silent. No more process_audio calls.
+        await asyncio.sleep(0.8)
+        assert len(asr.calls) == 2          # backlog decoded anyway
+        assert asr.calls[1] >= int(2.5 * 32000)
+        assert asr.max_active == 1
+        assert len(ws.sent) == 2
+
+    asyncio.run(run())

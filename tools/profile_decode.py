@@ -324,15 +324,18 @@ def main():
     @jax.jit
     def beam_gather(k8, ks, idx):
         def body(i, carry):
-            # idx must be genuinely loop-variant: an integer `chk * 0`
-            # folds to 0 (unlike float NaN-safe mults), which would make
-            # the gathers loop-invariant and hoistable.
+            # idx must be genuinely loop-variant: integer `chk * 0` or
+            # `chk % 1` folds to 0 and the gathers hoist.  A select on
+            # chk's parity keeps a REAL data dependence (both branches
+            # are valid permutations, so the measured work is identical).
             idx, acc = carry
             g1, g2 = k8[:, idx], k8[:, jnp.roll(idx, 1)]   # k and v gathers
             s1, s2 = ks[:, idx], ks[:, jnp.roll(idx, 1)]
             chk = (g1.astype(jnp.int32).sum() + g2.astype(jnp.int32).sum()
                    + (s1.sum() + s2.sum()).astype(jnp.int32))
-            return (jnp.roll(idx, 1 + chk % 1), acc + chk)
+            rolled = jnp.roll(idx, 1)
+            nxt = jnp.where(chk % 2 == 0, rolled, jnp.roll(rolled, 1))
+            return (nxt, acc + chk)
 
         _, acc = jax.lax.fori_loop(0, ITERS, body, (idx, jnp.int32(0)))
         return acc
@@ -355,7 +358,9 @@ def main():
             gk, gv, gks, gvs = gather_cache_rows(k8, k8, ks, ks, idx)
             chk = (gk.astype(jnp.int32).sum() + gv.astype(jnp.int32).sum()
                    + (gks.sum() + gvs.sum()).astype(jnp.int32))
-            return (jnp.roll(idx, 1 + chk % 1), acc + chk)
+            rolled = jnp.roll(idx, 1)  # parity select: see beam_gather
+            nxt = jnp.where(chk % 2 == 0, rolled, jnp.roll(rolled, 1))
+            return (nxt, acc + chk)
 
         _, acc = jax.lax.fori_loop(0, ITERS, body, (idx, jnp.int32(0)))
         return acc

@@ -174,8 +174,11 @@ async def _transcribe_task(file_path: str):
     server = await shared_server(whisper_engine, slots=slots,
                                  linger_ms=linger_ms)
     # audio decode (ffmpeg/RIFF) off the loop; the decode itself runs in
-    # the server's executor
-    audio, _sr = await loop.run_in_executor(None, load_audio, file_path)
+    # the server's executor.  int16=True keeps PCM16 sources int16 so
+    # windows upload at half the bytes and land in the server's
+    # int16-keyed (warmed) mel+encode program.
+    audio, _sr = await loop.run_in_executor(
+        None, lambda: load_audio(file_path, int16=True))
     segments, info = await whisper_engine.transcribe_with_server(
         audio, server, **TRANSCRIBE_KWARGS)
     segments = list(segments)

@@ -70,7 +70,9 @@ def read_wav_bytes(data: bytes, *, int16: bool = False
         if bits == 16:
             raw16 = np.frombuffer(payload, dtype="<i2")
             if int16 and channels == 1:
-                return raw16, rate
+                # copy: frombuffer views are read-only, and the float
+                # path always returns a writable array
+                return raw16.copy(), rate
             samples = raw16.astype(np.float32) / 32768.0
         elif bits == 32:
             samples = np.frombuffer(payload, dtype="<i4").astype(np.float32) / 2147483648.0
@@ -114,7 +116,7 @@ def _decode_via_ffmpeg(path: str, sr: int, *, int16: bool = False
     if proc.returncode != 0:
         raise RuntimeError(f"ffmpeg decode failed: {proc.stderr[-500:].decode(errors='replace')}")
     if int16:  # already s16le mono at the target rate: keep PCM16
-        return np.frombuffer(proc.stdout, dtype="<i2")
+        return np.frombuffer(proc.stdout, dtype="<i2").copy()
     return pcm16_bytes_to_float32(proc.stdout)
 
 

@@ -133,6 +133,14 @@ async def shared_server(engine, *, slots: int = 4, beam_size: int = 5,
         srv = BatchServer(engine, slots=slots, beam_size=beam_size, **kwargs)
         await srv.start()
         _SHARED_SERVERS[key] = srv
+    elif srv.slots != slots or srv.opts.beam_size != beam_size:
+        # first caller pins the shared config; don't let a later caller's
+        # differing knobs (e.g. TTASR_BATCH_SLOTS vs TTASR_TASK_BATCH_SLOTS)
+        # go silently ignored
+        logger.warning(
+            "shared_server already running with slots=%d beam_size=%d; "
+            "requested slots=%d beam_size=%d ignored",
+            srv.slots, srv.opts.beam_size, slots, beam_size)
     return srv
 
 
@@ -169,6 +177,7 @@ class BatchServer:
         self._steps = 0
         self._served = 0
         self._pool: List[WindowRequest] = []
+        self._inflight: List[WindowRequest] = []
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -186,6 +195,22 @@ class BatchServer:
                 await self._worker_task
             except asyncio.CancelledError:
                 pass
+        # fail anything in flight, absorbed into the pool, or still
+        # queued — callers' awaits must not hang past stop() (the cancel
+        # above can land mid-decode, orphaning that group's futures)
+        leftovers = list(self._inflight) + list(self._pool)
+        self._inflight = []
+        self._pool.clear()
+        if self._queue is not None:
+            while True:
+                try:
+                    leftovers.append(self._queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+        for req in leftovers:
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("BatchServer stopped before decoding"))
 
     @property
     def stats(self) -> dict:
@@ -280,6 +305,7 @@ class BatchServer:
             group = group[: self.slots]
             taken = {id(r) for r in group}
             pending[:] = [r for r in pending if id(r) not in taken]
+            self._inflight = group
             try:
                 results = await asyncio.get_running_loop().run_in_executor(
                     None, self._decode_batch, group
@@ -292,6 +318,7 @@ class BatchServer:
                 for req in group:
                     if not req.future.done():
                         req.future.set_exception(exc)
+            self._inflight = []
             self._steps += 1
             self._served += len(group)
 

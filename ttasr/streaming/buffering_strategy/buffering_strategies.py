@@ -173,8 +173,15 @@ class SilenceAtEndOfChunk(BufferingStrategyInterface):
             chunk_bytes = (self.chunk_length_seconds
                            * self.client.sampling_rate
                            * self.client.samples_width)
-            if self.behind and len(self.client.buffer) <= chunk_bytes:
+            pending = len(self.client.buffer)
+            if self.behind and pending <= chunk_bytes:
                 self.behind = False
+            if pending > chunk_bytes:
+                # a backlog merged while this decode ran: process it NOW
+                # instead of waiting for the next websocket message —
+                # the client may already have gone quiet, and audio that
+                # arrived mid-decode must not strand in client.buffer
+                self.process_audio(websocket, vad_pipeline, asr_pipeline)
 
     def _postprocess(self, text: str) -> str:
         """Optional charactersToNumbers conversion (README.md:520)."""
