@@ -263,6 +263,62 @@ def main():
     results["self_attn_int8_32L"] = per_iter(timeit(
         self_int8, q0, k8, ks, repeats=args.repeats))
 
+    # ---- fused self-attn megakernel: direct vs ancestry-indirect ----------
+    # Kernel-level A/B for the beam-reorder trade WITHOUT the ~200 s
+    # whole-beam compiles: direct kernel (+ the beam_gather_pallas stage
+    # below = the copy path's true per-step cost) vs the indirect kernel
+    # reading through an anc map (no copy at all).
+    from ttasr.ops.self_attention_pallas import (
+        self_attn_step_indirect_int8,
+        self_attn_step_int8,
+    )
+
+    k_rows = args.beam
+    b_audio = max(bk // k_rows, 1)
+    hp = ((h + 7) // 8) * 8
+    qkv0 = jnp.asarray(rng.standard_normal((b_audio, k_rows, 3 * d)) * 0.1,
+                       jnp.float32)
+    kf8 = jnp.asarray(rng.integers(-127, 127, (L, b_audio, k_rows, clen, d)),
+                      jnp.int8)
+    kfs = jnp.asarray(
+        np.abs(rng.standard_normal((L, b_audio, k_rows, hp, clen))) + 0.01,
+        jnp.float32)
+    pad0 = jnp.zeros((b_audio, k_rows), jnp.int32)
+    anc0 = jnp.asarray(rng.integers(0, k_rows, (b_audio, k_rows, clen)),
+                       jnp.int32)
+    slot_mid = clen - 2
+
+    def _megakernel_loop(indirect):
+        def layer(carry, scanned):
+            k_l, ks_l = scanned
+            if indirect:
+                attn, *_ = self_attn_step_indirect_int8(
+                    carry, k_l, ks_l, k_l, ks_l, anc0, pad0, slot_mid,
+                    n_heads=h)
+            else:
+                attn, *_ = self_attn_step_int8(
+                    carry, k_l, ks_l, k_l, ks_l, pad0, slot_mid, n_heads=h)
+            # float *0.0 keeps the loop-carried dependence (NaN-safe:
+            # XLA cannot fold it away, unlike integer *0)
+            nxt = carry + jnp.concatenate(
+                [attn, attn, attn], axis=-1) * 0.0
+            return nxt, None
+
+        @jax.jit
+        def run(qkv, kf8, kfs):
+            def body(i, carry):
+                out, _ = jax.lax.scan(layer, carry, (kf8, kfs))
+                return out
+
+            return jax.lax.fori_loop(0, ITERS, body, qkv)
+
+        return run
+
+    results["self_attn_kernel_32L"] = per_iter(timeit(
+        _megakernel_loop(False), qkv0, kf8, kfs, repeats=args.repeats))
+    results["self_attn_indirect_kernel_32L"] = per_iter(timeit(
+        _megakernel_loop(True), qkv0, kf8, kfs, repeats=args.repeats))
+
     # ---- fused weight kernels over 32 layers ------------------------------
     from ttasr.ops.decoder_blocks_pallas import (
         attnout_ln_q_fused,
