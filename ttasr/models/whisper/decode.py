@@ -605,6 +605,22 @@ def _growth_buckets(max_prompt: int, sample_len: int):
     return buckets
 
 
+def _tile_cache_rows(cache: DecodeCache, k: int) -> DecodeCache:
+    """Tile the SELF caches K x along the row axis (beam expansion after
+    a B-row prefill): each beam row starts with its audio's prompt K/V.
+    Cross K/V stay at B — the kernels broadcast over the beam group."""
+    if k == 1:
+        return cache
+
+    def rep(x):
+        return jnp.repeat(x, k, axis=1) if x.ndim > 1 else x
+
+    return dataclasses.replace(
+        cache, k=rep(cache.k), v=rep(cache.v),
+        ks=rep(cache.ks), vs=rep(cache.vs),
+    )
+
+
 def _pad_cache_to(cache: DecodeCache, new_len: int) -> DecodeCache:
     """Grow the self-KV caches (len axis) to ``new_len`` slots."""
     cur = cache.k.shape[2]
@@ -816,7 +832,6 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 
     # Beams of the same audio share encoder output and cross-KV; only the
     # self-attn caches expand to B*K rows.
-    prompt_rep = jnp.repeat(prompt, k, axis=0)
     pad_rep = jnp.repeat(pad_len, k, axis=0)
 
     max_prompt = prompt.shape[1]
@@ -827,17 +842,23 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     # instead and the self-attention kernel reads through it.
     use_indirect = flat_kv and opts.beam_indirect
     own_row = (jnp.arange(bk, dtype=jnp.int32) % k)[:, None]
+    # Prefill ONCE per audio, not per beam: all K beams of an audio share
+    # the identical prompt, so the teacher-forced pass runs at B rows and
+    # the written self caches tile K x afterwards (cross K/V already stay
+    # at B; the kernels broadcast over the beam group) — 1/K the prefill
+    # FLOPs and prompt-region cache writes.
     cache = init_cache(params, cfg, enc_out,
-                       max_len=buckets[0], beam_expand=k,
+                       max_len=buckets[0], beam_expand=1,
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8,
                        flat_kv=flat_kv)
-    hidden, cache = _prefill(params, cfg, prompt_rep, pad_rep, cache)
+    hidden_b, cache = _prefill(params, cfg, prompt, pad_len, cache)
+    cache = _tile_cache_rows(cache, k)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
                           jnp.arange(max_prompt)[None, :], axis=1)
     sot_hidden = jnp.take_along_axis(
-        hidden[::k], sot_slot[:, None, None], axis=1
+        hidden_b, sot_slot[:, None, None], axis=1
     )[:, 0]
     sot_logits = _logits_at(params, sot_hidden).astype(jnp.float32)
     no_speech_prob = (
@@ -858,7 +879,11 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         last=jnp.full((bk,), -1, jnp.int32),
         penult=jnp.full((bk,), -1, jnp.int32),
         max_ts=jnp.zeros((bk,), jnp.int32),
-        logits=_logits_at(params, hidden[:, -1]).astype(jnp.float32),
+        # last-prompt-position logits are identical across a group: the
+        # (B, V) unembed repeats K x instead of running at BK rows
+        logits=jnp.repeat(
+            _logits_at(params, hidden_b[:, -1]).astype(jnp.float32),
+            k, axis=0),
         cache=cache,
         fin_tokens=jnp.full((b, k, opts.sample_len), ti.eot, jnp.int32),
         fin_len=jnp.zeros((b, k), jnp.int32),
