@@ -77,10 +77,11 @@ class DecodingOptions:
     cross_kv_int8: bool = False  # int8 cross-KV: needs a fused kernel to win
     # Beam reorder via ancestry indirection (flat-cache kernel path only):
     # permute a (BK, len) index map instead of physically copying the
-    # caches each step (the Pallas permuted-copy gather still cost
-    # 4.6 ms/step at batch 16 — PERF_NOTES.md round 3).  Opt-in until the
-    # TPU A/B (tools/profile_decode.py) proves the FLOP-for-copy trade.
-    beam_indirect: bool = False
+    # caches each step.  Default-on since the TPU A/B
+    # (tools/profile_decode.py, batch 16): beam step 20.46 -> 15.30 ms,
+    # beam128 total 2.50 -> 2.01 s — the +1.1 ms indirect-kernel masking
+    # cost buys out the 4.6 ms Pallas permuted-copy gather entirely.
+    beam_indirect: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
