@@ -149,7 +149,7 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="large-v3")
-    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=24)
     parser.add_argument("--decode-tokens", type=int, default=128)
     parser.add_argument("--beam", type=int, default=5)
     parser.add_argument("--compute", default="int8")
