@@ -29,7 +29,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
               compute: str, repeats: int = 3, kv_int8: bool = True,
-              cross_kv_int8: bool = False) -> dict:
+              cross_kv_int8: bool = False, cross_kv_int4: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +66,8 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
     )
     opts = DecodingOptions(beam_size=beam, sample_len=decode_tokens,
                            without_timestamps=False, kv_int8=kv_int8,
-                           cross_kv_int8=cross_kv_int8)
+                           cross_kv_int8=cross_kv_int8,
+                           cross_kv_int4=cross_kv_int4)
 
     rng = np.random.default_rng(0)
     # int16 PCM end-to-end: audio is natively int16, and uploading f32
@@ -161,6 +162,14 @@ def main() -> None:
                              "on for --compute int8)")
     parser.add_argument("--no-cross-kv-int8", dest="cross_kv_int8",
                         action="store_false")
+    parser.add_argument("--cross-kv-int4", dest="cross_kv_int4",
+                        action="store_true", default=True,
+                        help="int4 nibble-packed cross-KV (default on; "
+                             "fused-kernel path only — divergence vs the "
+                             "unfused int8 path measured exact, see "
+                             "PERF_NOTES.md)")
+    parser.add_argument("--no-cross-kv-int4", dest="cross_kv_int4",
+                        action="store_false")
     args = parser.parse_args()
 
     cross = args.cross_kv_int8
@@ -168,7 +177,7 @@ def main() -> None:
         cross = args.compute == "int8"
     stats = run_bench(args.model, args.batch, args.decode_tokens, args.beam,
                       args.compute, args.repeats, kv_int8=not args.no_kv_int8,
-                      cross_kv_int8=cross)
+                      cross_kv_int8=cross, cross_kv_int4=args.cross_kv_int4)
     baseline_rtf = 0.1  # reference GPU RTF (README.md:106)
     print(json.dumps({
         "metric": f"whisper-{args.model}_rtf_per_chip",

@@ -588,3 +588,154 @@ def test_beam_gather_kernel_matches_xla_gather():
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(v[:, idx]))
     np.testing.assert_array_equal(np.asarray(gks), np.asarray(ks[:, idx]))
     np.testing.assert_array_equal(np.asarray(gvs), np.asarray(vs[:, idx]))
+
+
+def test_int4_pack_roundtrip():
+    """Nibble packing (ttasr/ops/int4.py) is lossless over [-8, 7]."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.int4 import pack_int4, unpack_int4
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(-8, 8, size=(3, 32, 20), dtype=np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 16, 20)
+    out = np.asarray(unpack_int4(packed))
+    np.testing.assert_array_equal(out, q)
+
+
+def test_int4_quantize_range():
+    """quantize_kv4 stays in [-7, 7] and dequantizes within one scale
+    step of the input."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.int4 import quantize_kv4
+
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, 16, 4, 64)) * 3).astype(np.float32)
+    q, scale = quantize_kv4(jnp.asarray(x))
+    q, scale = np.asarray(q), np.asarray(scale)
+    assert q.min() >= -7 and q.max() <= 7
+    err = np.abs(q * scale[..., None] - x)
+    assert (err <= scale[..., None] * 0.5 + 1e-6).all()
+
+
+def test_attnout_cross_int4_packed_matches_unpacked():
+    """attnout_ln_q_cross_int8 over a nibble-packed int4 cache equals the
+    same kernel over the identical int4 values stored as int8 — the
+    unpack is the only difference, so agreement is exact."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.decoder_blocks_pallas import attnout_ln_q_cross_int8
+    from ttasr.ops.int4 import pack_int4, quantize_kv4
+
+    rng = np.random.default_rng(5)
+    b, k_pad, h, dh, s, s_real = 2, 8, 4, 64, 48, 45
+    d = h * dh
+    x = (rng.standard_normal((b, k_pad, d)) * 0.3).astype(np.float32)
+    attn = (rng.standard_normal((b, k_pad, d)) * 0.3).astype(np.float32)
+    ln_s = (rng.standard_normal(d) * 0.1 + 1).astype(np.float32)
+    ln_b = (rng.standard_normal(d) * 0.1).astype(np.float32)
+    wo = quantize_tensor((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    bo = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    wqc = quantize_tensor((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    bqc = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    ck = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    cv = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    ck4, cks = quantize_kv4(jnp.asarray(ck))
+    cv4, cvs = quantize_kv4(jnp.asarray(cv))
+    cks_t = jnp.swapaxes(cks, 1, 2)
+    cvs_t = jnp.swapaxes(cvs, 1, 2)
+    ck_flat = jnp.asarray(ck4).reshape(b, s, d)
+    cv_flat = jnp.asarray(cv4).reshape(b, s, d)
+
+    args = (jnp.asarray(x), jnp.asarray(attn),
+            wo["q"], wo["s"], bo, ln_s, ln_b, wqc["q"], wqc["s"], bqc)
+    xo_i8, cross_i8 = attnout_ln_q_cross_int8(
+        *args, ck_flat, cks_t, cv_flat, cvs_t,
+        s_real=s_real, interpret=True)
+    xo_i4, cross_i4 = attnout_ln_q_cross_int8(
+        *args, pack_int4(ck_flat), cks_t, pack_int4(cv_flat), cvs_t,
+        s_real=s_real, interpret=True)
+    np.testing.assert_array_equal(np.asarray(xo_i4), np.asarray(xo_i8))
+    np.testing.assert_allclose(np.asarray(cross_i4), np.asarray(cross_i8),
+                               rtol=0, atol=0)
+
+
+def test_cross_attention_int4_packed_matches_unpacked():
+    """Standalone cross_attention_int8 kernel: packed int4 == the same
+    int4 values fed as int8."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.cross_attention_pallas import cross_attention_int8
+    from ttasr.ops.int4 import pack_int4, quantize_kv4
+
+    rng = np.random.default_rng(6)
+    b, k, h, dh, s, s_real = 2, 5, 4, 64, 32, 29
+    q = (rng.standard_normal((b, k, h, dh)) * 0.4).astype(np.float32)
+    ck = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    cv = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    ck4, cks = quantize_kv4(jnp.asarray(ck))
+    cv4, cvs = quantize_kv4(jnp.asarray(cv))
+    cks_t = jnp.swapaxes(cks, 1, 2)
+    cvs_t = jnp.swapaxes(cvs, 1, 2)
+    ck_flat = jnp.asarray(ck4).reshape(b, s, h * dh)
+    cv_flat = jnp.asarray(cv4).reshape(b, s, h * dh)
+
+    out_i8 = cross_attention_int8(
+        jnp.asarray(q), ck_flat, cks_t, cv_flat, cvs_t, s_real,
+        interpret=True)
+    out_i4 = cross_attention_int8(
+        jnp.asarray(q), pack_int4(ck_flat), cks_t, pack_int4(cv_flat),
+        cvs_t, s_real, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_i4), np.asarray(out_i8))
+
+
+def test_decode_cross_int4_end_to_end():
+    """greedy + beam decode run with cross_kv_int4 on the fused path and
+    emit valid tokens; the int4 gate accepts the fused micro config."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.decode import (
+        DecodingOptions,
+        TokenizerInfo,
+        _use_cross_int4,
+        beam_decode,
+        greedy_decode,
+        pad_prompts,
+    )
+    from ttasr.models.whisper.model import encode, init_params
+    from ttasr.ops.mel import log_mel_spectrogram
+    from ttasr.ops.quant import fuse_qkv, quantize_params
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = WhisperConfig(
+        name="micro64", vocab_size=tok.vocab_size, num_mel_bins=80,
+        d_model=128, encoder_layers=1, encoder_heads=2,
+        decoder_layers=2, decoder_heads=2, ffn_dim=256,
+    )
+    fparams = fuse_qkv(quantize_params(init_params(cfg, seed=0)))
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 48000)).astype(np.float32) * 0.1
+    mel = log_mel_spectrogram(audio, n_mels=80)
+    ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    opts = DecodingOptions(beam_size=1, sample_len=8, kv_int8=True,
+                           cross_kv_int8=True, cross_kv_int4=True)
+    assert _use_cross_int4(fparams, cfg, opts)
+    prompt, pad = pad_prompts(
+        [tok.sot_sequence("zh", predict_timestamps=True)] * 2, tok.eot)
+    key = jax.random.PRNGKey(0)
+    enc_f = encode(fparams, cfg, mel)
+
+    for decode_fn, beam in [(greedy_decode, 1), (beam_decode, 3)]:
+        o = dataclasses_replace(opts, beam_size=beam)
+        out = decode_fn(fparams, cfg, enc_f, prompt, pad, key,
+                        opts=o, ti=ti)
+        toks = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
+        assert (lengths >= 1).all()

@@ -22,7 +22,9 @@ Usage: python tools/check_beam_divergence.py [--windows 8] [--sample-len 64]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import difflib
+import functools
 import json
 import os
 import sys
@@ -48,6 +50,10 @@ def main():
     p.add_argument("--windows", type=int, default=8)
     p.add_argument("--sample-len", type=int, default=64)
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--cross-int4", action="store_true",
+                   help="fused path uses int4 nibble-packed cross-KV: "
+                        "bounds the int4 quantization error at the "
+                        "recognition level, not just kernel numerics")
     p.add_argument("--out-json", default=None)
     args = p.parse_args()
 
@@ -81,20 +87,23 @@ def main():
     ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
     opts = DecodingOptions(beam_size=args.beam, sample_len=args.sample_len,
                            kv_int8=True, cross_kv_int8=True)
+    opts_fused = (dataclasses.replace(opts, cross_kv_int4=True)
+                  if args.cross_int4 else opts)
     prompt_ids = tok.sot_sequence("zh", "transcribe", predict_timestamps=True)
     prompt, pad = pad_prompts([prompt_ids] * args.windows, tok.eot)
     key = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def pipeline(prms, audio, prompt, pad, key):
+    @functools.partial(jax.jit, static_argnames=("o",))
+    def pipeline(prms, audio, prompt, pad, key, o):
         mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
         enc_out = encode(prms, cfg, mel)
         return beam_decode(prms, cfg, enc_out, prompt, pad, key,
-                           opts=opts, ti=ti)
+                           opts=o, ti=ti)
 
     results = {}
-    for name, prms in (("unfused", qparams), ("fused", fparams)):
-        out = pipeline(prms, audio, prompt, pad, key)
+    for name, prms, o in (("unfused", qparams, opts),
+                          ("fused", fparams, opts_fused)):
+        out = pipeline(prms, audio, prompt, pad, key, o)
         results[name] = {
             "tokens": np.asarray(out["tokens"]),
             "lengths": np.asarray(out["lengths"]),

@@ -129,7 +129,8 @@ class WhisperEngine:
                  tokenizer: Optional[WhisperTokenizer] = None,
                  params: Optional[Any] = None,
                  config: Optional[WhisperConfig] = None,
-                 mesh: Optional[Any] = None):
+                 mesh: Optional[Any] = None,
+                 cross_kv_int4: bool = True):
         import jax.numpy as jnp
 
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
@@ -144,6 +145,11 @@ class WhisperEngine:
             self.params, self.cfg = load_whisper(model_path_or_name, dtype=dtype)
         # int8 compute: quantized HBM-resident weights + int8 self-KV cache
         self.kv_cache_int8 = compute_type == "int8"
+        # int4 nibble-packed cross-KV (default on): halves the dominant
+        # per-step decode HBM stream again on the fused-kernel path;
+        # recognition-level divergence vs the unfused int8 path measured
+        # exact (tools/check_beam_divergence.py --cross-int4, PERF_NOTES)
+        self.cross_kv_int4 = cross_kv_int4 and self.kv_cache_int8
         if compute_type == "int8":
             from ttasr.ops.quant import fuse_qkv, quantize_params
 
@@ -231,6 +237,7 @@ class WhisperEngine:
             # int8 cross-KV rides the fused attnout+cross kernel: equal
             # speed to bf16 end-to-end and half the cross-cache HBM
             cross_kv_int8=kv_int8 and self.compute_type == "int8",
+            cross_kv_int4=self.cross_kv_int4 and kv_int8,
         )
         if temperature == 0.0 and opts.beam_size > 1:
             out = beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
@@ -423,6 +430,7 @@ class WhisperEngine:
             # int8 cross-KV rides the fused attnout+cross kernel: equal
             # speed to bf16 end-to-end and half the cross-cache HBM
             cross_kv_int8=kv_int8 and self.compute_type == "int8",
+            cross_kv_int4=self.cross_kv_int4 and kv_int8,
         )
         last = None
         for temperature in opts.temperatures:

@@ -82,6 +82,10 @@ class DecodingOptions:
     # beam128 total 2.50 -> 2.01 s — the +1.1 ms indirect-kernel masking
     # cost buys out the 4.6 ms Pallas permuted-copy gather entirely.
     beam_indirect: bool = True
+    # int4 nibble-packed cross-KV (fused-kernel path only): halves the
+    # dominant per-step HBM stream again.  Opt-in; quantization error is
+    # bounded by tools/check_beam_divergence.py --cross-int4, not assumed.
+    cross_kv_int4: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -565,7 +569,9 @@ def _cross_attn_quantized(qc, cfg: WhisperConfig, ck8, cks_t, cv8, cvs_t,
     masked out.
     """
     bk, t, h, dh = qc.shape
-    b, s = ck8.shape[0], ck8.shape[1]
+    packed = ck8.dtype == jnp.uint8
+    b = ck8.shape[0]
+    s = 2 * ck8.shape[1] if packed else ck8.shape[1]
     group = bk // b
     on_tpu = jax.default_backend() == "tpu"
     if t == 1 and group <= 8 and dh == 64 and h % 2 == 0:
@@ -574,7 +580,13 @@ def _cross_attn_quantized(qc, cfg: WhisperConfig, ck8, cks_t, cv8, cvs_t,
             interpret=not on_tpu,
         )
         return out.reshape(bk, t, h, dh).astype(qc.dtype)
-    # XLA fallback (prefill, once per window): folded scales + mask
+    # XLA fallback (prefill, once per window): folded scales + mask.
+    # int4 unpacks here too — once per window, not per step.
+    if packed:
+        from ttasr.ops.int4 import unpack_int4
+
+        ck8 = unpack_int4(ck8)
+        cv8 = unpack_int4(cv8)
     cks = _untranspose_scales(cks_t, h)
     cvs = _untranspose_scales(cvs_t, h)
     qg = qc.reshape(b, group * t, h, dh)
@@ -590,6 +602,17 @@ def _use_flat_kv(params, cfg: WhisperConfig, opts: DecodingOptions) -> bool:
     return (opts.kv_int8
             and "wqkv" in params["decoder"]["blocks"]
             and cfg.d_model // cfg.decoder_heads == 64)
+
+
+def _use_cross_int4(params, cfg: WhisperConfig, opts: DecodingOptions) -> bool:
+    """int4 cross-KV needs the fused-kernel configuration: the packed
+    cache only has in-VMEM unpack paths in the Pallas kernels and the
+    once-per-window XLA prefill fallback — under a mesh (unfused
+    GSPMD-partitioned graph) the per-step XLA unpack would materialize,
+    so the option is silently ignored there (like ``beam_indirect``)."""
+    return (opts.cross_kv_int4
+            and _use_flat_kv(params, cfg, opts)
+            and cfg.decoder_heads % 2 == 0)
 
 
 def _growth_buckets(max_prompt: int, sample_len: int):
@@ -678,6 +701,7 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        max_len=buckets[0],
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8,
+                       cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=_use_flat_kv(params, cfg, opts))
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache)
 
@@ -852,6 +876,7 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        max_len=buckets[0], beam_expand=1,
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8,
+                       cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=flat_kv)
     hidden_b, cache = _prefill(params, cfg, prompt, pad_len, cache)
     cache = _tile_cache_rows(cache, k)

@@ -336,7 +336,8 @@ class DecodeCache:
     def cross_quantized(self) -> bool:
         import jax.numpy as _jnp
 
-        return self.cross_k.dtype == _jnp.int8
+        # int8 flat, or uint8 = int4 nibble-packed (ttasr/ops/int4.py)
+        return self.cross_k.dtype in (_jnp.int8, _jnp.uint8)
 
 
 jax.tree_util.register_dataclass(
@@ -361,7 +362,7 @@ def quantize_kv(x):
 
 def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
                beam_expand: int = 1, kv_int8: bool = False,
-               cross_kv_int8: bool = False,
+               cross_kv_int8: bool = False, cross_kv_int4: bool = False,
                flat_kv: bool = False) -> DecodeCache:
     """Allocate self-attn cache and precompute cross-attn K/V per layer.
 
@@ -381,6 +382,7 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
     b = enc_out.shape[0]
     h, dh = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
     dtype = enc_out.dtype
+    cross_kv_int8 = cross_kv_int8 or cross_kv_int4  # int4 is a sub-mode
 
     def cross_kv(_, blk):
         k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
@@ -393,16 +395,20 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
     cks = cvs = empty
     if cross_kv_int8:
         from ttasr.ops.cross_attention_pallas import transpose_scales
+        from ttasr.ops.int4 import pack_int4, quantize_kv4
 
         # pad source length to a sublane multiple for the Pallas kernel
+        # (int4: a multiple of 16, so both packed halves stay
+        # sublane-aligned at S/2)
         s_len = ck.shape[2]
-        s_pad = (-s_len) % 8
+        s_pad = (-s_len) % (16 if cross_kv_int4 else 8)
         if s_pad:
             widths = ((0, 0), (0, 0), (0, s_pad), (0, 0), (0, 0))
             ck = jnp.pad(ck, widths)
             cv = jnp.pad(cv, widths)
-        ck, cks = jax.vmap(quantize_kv)(ck)
-        cv, cvs = jax.vmap(quantize_kv)(cv)
+        quant = quantize_kv4 if cross_kv_int4 else quantize_kv
+        ck, cks = jax.vmap(quant)(ck)
+        cv, cvs = jax.vmap(quant)(cv)
         # int8 K/V stored FLAT (L, B, S, H*Dh): the Pallas kernels read
         # (S, D) int8 blocks, and a 5-D (.., H, Dh) int8 layout would
         # both tile-pad the (20, 64) trailing dims in HBM and force a
@@ -410,6 +416,11 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
         s_total = ck.shape[2]
         ck = ck.reshape(cfg.decoder_layers, b, s_total, h * dh)
         cv = cv.reshape(cfg.decoder_layers, b, s_total, h * dh)
+        if cross_kv_int4:
+            # nibble-packed (L, B, S/2, D) uint8 — consumers detect the
+            # packing via dtype (ttasr/ops/int4.py layout)
+            ck = pack_int4(ck)
+            cv = pack_int4(cv)
         # scales in the kernel's compact (B, H, S) layout
         cks = jax.vmap(transpose_scales)(cks)
         cvs = jax.vmap(transpose_scales)(cvs)

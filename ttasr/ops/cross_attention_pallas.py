@@ -46,17 +46,22 @@ def transpose_scales(scales):
 
 def cross_attention_int8(q, ck8_flat, ks_t, cv8_flat, vs_t, s_real: int,
                          *, interpret: bool = False):
-    """q: (B, K, H, Dh) f32/bf16; ck8_flat/cv8_flat: (B, S, H*Dh) int8;
-    ks_t/vs_t: (B, H, S) f32 from :func:`transpose_scales`.
-    Returns (B, K, H, Dh) f32.
+    """q: (B, K, H, Dh) f32/bf16; ck8_flat/cv8_flat: (B, S, H*Dh) int8,
+    or (B, S/2, H*Dh) uint8 nibble-packed int4 (ttasr/ops/int4.py —
+    detected via dtype); ks_t/vs_t: (B, H, S) f32 from
+    :func:`transpose_scales`.  Returns (B, K, H, Dh) f32.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from ttasr.ops.int4 import unpack_int4_block
+
     b, k_beams, h, dh = q.shape
-    s = ck8_flat.shape[1]
+    packed = ck8_flat.dtype == jnp.uint8
+    s_rows = ck8_flat.shape[1]            # stored rows (S/2 when packed)
+    s = 2 * s_rows if packed else s_rows  # logical source slots
     d = h * dh
     assert dh == 64 and h % 2 == 0, "kernel assumes head_dim 64, even heads"
     n_pairs = h // 2
@@ -79,10 +84,16 @@ def cross_attention_int8(q, ck8_flat, ks_t, cv8_flat, vs_t, s_real: int,
                                   (2 * K_PAD, s))
             return jnp.where(top_rows, a, b_)
 
+        def load_pair(ref, c0):
+            if packed:
+                return unpack_int4_block(
+                    ref[0, :, c0 : c0 + PAIR_COLS]).astype(jnp.bfloat16)
+            return ref[0, :, c0 : c0 + PAIR_COLS].astype(jnp.bfloat16)
+
         for p in range(n_pairs):
             c0 = p * PAIR_COLS
-            k_pair = k_ref[0, :, c0 : c0 + PAIR_COLS].astype(jnp.bfloat16)
-            v_pair = v_ref[0, :, c0 : c0 + PAIR_COLS].astype(jnp.bfloat16)
+            k_pair = load_pair(k_ref, c0)
+            v_pair = load_pair(v_ref, c0)
 
             # block-diagonal queries: rows 0..7 -> head 2p, 8..15 -> 2p+1
             q_cols = q_ref[0, :, c0 : c0 + PAIR_COLS]      # (8, 128)
@@ -113,11 +124,11 @@ def cross_attention_int8(q, ck8_flat, ks_t, cv8_flat, vs_t, s_real: int,
         in_specs=[
             pl.BlockSpec((1, K_PAD, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s_rows, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, s_rows, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from ttasr.ops.int4 import unpack_int4_block
+
 
 def _ln_f32(xv, s_ref, b_ref):
     mean = jnp.mean(xv, axis=-1, keepdims=True)
@@ -118,8 +120,9 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     x, attn: (B, K, D) f32 — beam rows grouped per audio (K <= 8; Mosaic
     pads sub-8 sublane tiles internally, so no host-side padding).
     ck8/cv8: (B, S, D) int8 cross-KV (S a multiple of 8, real slots
-    ``s_real``).  cks/cvs: (B, H, S) f32 per-(head, slot) scales.
-    Weights int8 with (1, D) f32 col scales.
+    ``s_real``), or (B, S/2, D) uint8 nibble-packed int4
+    (ttasr/ops/int4.py — detected via dtype).  cks/cvs: (B, H, S) f32
+    per-(head, slot) scales.  Weights int8 with (1, D) f32 col scales.
     Returns (x' (B, K, D) f32, cross (B, K, D) f32 merged-head).
 
     Head pairs (head_dim 64) keep every matmul 128-lane aligned: the two
@@ -129,7 +132,9 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     (no lane-offset concats — Mosaic can't lower those).
     """
     b, k_pad, d = x.shape
-    s = ck8.shape[1]
+    packed = ck8.dtype == jnp.uint8
+    s_rows = ck8.shape[1]                 # stored rows (S/2 when packed)
+    s = 2 * s_rows if packed else s_rows  # logical source slots
     h = cks.shape[1]
     dh = d // h
     assert dh == 64 and h % 2 == 0, "kernel assumes head_dim 64, even heads"
@@ -170,10 +175,16 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
                                    (2 * k_pad, s))
             return jnp.where(top_rows, even, odd)
 
+        def load_pair(ref, c0):
+            if packed:
+                return unpack_int4_block(
+                    ref[0, :, c0 : c0 + 2 * dh]).astype(jnp.bfloat16)
+            return ref[0, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
+
         for p in range(n_pairs):
             c0 = p * 2 * dh
-            k_pair = k_ref[0, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
-            v_pair = v_ref[0, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
+            k_pair = load_pair(k_ref, c0)
+            v_pair = load_pair(v_ref, c0)
             q_cols = qc[:, c0 : c0 + 2 * dh]                  # (8, 128)
             # block-diagonal (16, 128): rows 0..7 even head, 8..15 odd
             q_pair = jnp.concatenate(
@@ -214,9 +225,9 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
             pl.BlockSpec((d, d), const2),                       # wqc_q
             pl.BlockSpec((1, d), const2),                       # wqc_s
             pl.BlockSpec((1, d), const2),                       # bqc
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),       # ck8
+            pl.BlockSpec((1, s_rows, d), lambda i: (i, 0, 0)),  # ck8
             pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),       # cks
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),       # cv8
+            pl.BlockSpec((1, s_rows, d), lambda i: (i, 0, 0)),  # cv8
             pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),       # cvs
         ],
         out_specs=(
