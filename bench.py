@@ -150,7 +150,9 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="large-v3")
-    parser.add_argument("--batch", type=int, default=24)
+    # int4 cross-KV flattened the linear-in-B cross-stream term, moving
+    # the sweet spot 24 -> 32 (0.00518 / 0.00496 / OOM at 24 / 32 / 48)
+    parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--decode-tokens", type=int, default=128)
     parser.add_argument("--beam", type=int, default=5)
     parser.add_argument("--compute", default="int8")
