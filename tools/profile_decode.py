@@ -240,6 +240,15 @@ def main():
         fused_attnout_cross, x0, blocks, ck8_flat, sc_t,
         repeats=args.repeats))
 
+    # same kernel over the int4 nibble-packed cache (s_pad % 16 == 0)
+    if s_pad % 16 == 0:
+        from ttasr.ops.int4 import pack_int4
+
+        ck4_flat = jax.jit(pack_int4)(ck8_flat)
+        results["fused_attnout_cross_int4_32L"] = per_iter(timeit(
+            fused_attnout_cross, x0, blocks, ck4_flat, sc_t,
+            repeats=args.repeats))
+
     # ---- self attention int8 over cache ----------------------------------
     q0 = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
     k8 = jnp.asarray(rng.integers(-127, 127, (L, bk, clen, h, dh)), jnp.int8)
@@ -444,11 +453,13 @@ def main():
         [tok.sot_sequence("zh", "transcribe", predict_timestamps=True)] * b,
         tok.eot)
     key = jax.random.PRNGKey(0)
-    for tag, indirect in (("", True), ("_gather", False)):
+    for tag, indirect, int4 in (("", True, True), ("_crossint8", True, False),
+                                ("_gather", False, False)):
         beam_ms = {}
         for n_tok in (64, 128):
             opts = DecodingOptions(beam_size=k, sample_len=n_tok,
                                    kv_int8=True, cross_kv_int8=True,
+                                   cross_kv_int4=int4,
                                    beam_indirect=indirect)
             t_run = timeit(
                 lambda o=opts: beam_decode(params_q, cfg, enc_out, prompt,
