@@ -739,3 +739,43 @@ def test_decode_cross_int4_end_to_end():
         lengths = np.asarray(out["lengths"])
         assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
         assert (lengths >= 1).all()
+
+
+def test_attnout_cross_grouped_matches_ungrouped():
+    """group=2/4 (audios per grid step) is bit-identical to group=1,
+    and a non-dividing group falls back to 1."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.decoder_blocks_pallas import attnout_ln_q_cross_int8
+    from ttasr.ops.int4 import pack_int4, quantize_kv4
+
+    rng = np.random.default_rng(7)
+    b, k_pad, h, dh, s, s_real = 4, 8, 4, 64, 48, 45
+    d = h * dh
+    x = (rng.standard_normal((b, k_pad, d)) * 0.3).astype(np.float32)
+    attn = (rng.standard_normal((b, k_pad, d)) * 0.3).astype(np.float32)
+    ln_s = (rng.standard_normal(d) * 0.1 + 1).astype(np.float32)
+    ln_b = (rng.standard_normal(d) * 0.1).astype(np.float32)
+    wo = quantize_tensor((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    bo = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    wqc = quantize_tensor((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    bqc = (rng.standard_normal(d) * 0.02).astype(np.float32)
+    ck = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    cv = (rng.standard_normal((b, s, h, dh)) * 0.5).astype(np.float32)
+    ck4, cks = quantize_kv4(jnp.asarray(ck))
+    cv4, cvs = quantize_kv4(jnp.asarray(cv))
+    cks_t = jnp.swapaxes(cks, 1, 2)
+    cvs_t = jnp.swapaxes(cvs, 1, 2)
+    ckp = pack_int4(jnp.asarray(ck4).reshape(b, s, d))
+    cvp = pack_int4(jnp.asarray(cv4).reshape(b, s, d))
+
+    args = (jnp.asarray(x), jnp.asarray(attn),
+            wo["q"], wo["s"], bo, ln_s, ln_b, wqc["q"], wqc["s"], bqc,
+            ckp, cks_t, cvp, cvs_t)
+    xo1, cr1 = attnout_ln_q_cross_int8(*args, s_real=s_real, group=1,
+                                       interpret=True)
+    for grp in (2, 3, 4):  # 3 does not divide b=4 -> falls back to 1
+        xo_g, cr_g = attnout_ln_q_cross_int8(*args, s_real=s_real,
+                                             group=grp, interpret=True)
+        np.testing.assert_array_equal(np.asarray(xo_g), np.asarray(xo1))
+        np.testing.assert_array_equal(np.asarray(cr_g), np.asarray(cr1))

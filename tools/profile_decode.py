@@ -249,6 +249,33 @@ def main():
             fused_attnout_cross, x0, blocks, ck4_flat, sc_t,
             repeats=args.repeats))
 
+        # grouped variant: 2 audios per grid step (weight matmuls
+        # amortize; VMEM only fits the packed cache)
+        @jax.jit
+        def fused_attnout_cross_g2(x, blocks, ck8_flat, sc_t):
+            def layer(carry, scanned):
+                blk, ck_l, cks_l, cv_l, cvs_l = scanned
+                xo, cross = attnout_ln_q_cross_int8(
+                    carry, carry,
+                    blk["wo"]["q"], blk["wo"]["s"], blk["bo"],
+                    blk["lnc_s"], blk["lnc_b"],
+                    blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
+                    ck_l, cks_l, cv_l, cvs_l, s_real=S, group=2)
+                return xo + cross, None
+
+            def body(i, carry):
+                out, _ = jax.lax.scan(layer, carry,
+                                      (blocks, ck8_flat, sc_t,
+                                       ck8_flat, sc_t))
+                return out
+
+            return jax.lax.fori_loop(0, ITERS, body, x)
+
+        if b % 2 == 0:
+            results["fused_attnout_cross_int4_g2_32L"] = per_iter(timeit(
+                fused_attnout_cross_g2, x0, blocks, ck4_flat, sc_t,
+                repeats=args.repeats))
+
     # ---- self attention int8 over cache ----------------------------------
     q0 = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
     k8 = jnp.asarray(rng.integers(-127, 127, (L, bk, clen, h, dh)), jnp.int8)

@@ -106,10 +106,12 @@ def attnout_ln_q_fused(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
 K_PAD = 8  # beam rows per audio padded to the 8-sublane tile
 
 
-@functools.partial(jax.jit, static_argnames=("s_real", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("s_real", "group", "interpret"))
 def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
                             wqc_q, wqc_s, bqc, ck8, cks, cv8, cvs,
-                            *, s_real: int, interpret: bool = False):
+                            *, s_real: int, group: int = 1,
+                            interpret: bool = False):
     """Self-attn out-proj + residual + lnc + cross-q + int8 cross-attention.
 
     Per audio i (grid step i):
@@ -130,6 +132,13 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     (16,128)@(128,S) dot scores both heads with no cross terms, and the
     pair output folds back to merged-head layout with a lane select
     (no lane-offset concats — Mosaic can't lower those).
+
+    ``group`` > 1 processes that many audios per grid step: the two
+    weight matmuls run once over all ``group * K`` rows (an (8, D) row
+    panel leaves the 128-row MXU tile ~94 % empty — the per-program
+    weight cost does not shrink with rows) and the per-program fixed
+    cost amortizes.  VMEM-bound: group 2 only fits the int4-packed
+    cache (int8 blocks double-buffer past the ~16 MB budget).
     """
     b, k_pad, d = x.shape
     packed = ck8.dtype == jnp.uint8
@@ -139,6 +148,9 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     dh = d // h
     assert dh == 64 and h % 2 == 0, "kernel assumes head_dim 64, even heads"
     assert k_pad <= K_PAD and s % 8 == 0
+    if b % group != 0:
+        group = 1
+    g = group
     n_pairs = h // 2
     qscale = dh ** -0.5
 
@@ -152,15 +164,17 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     def kernel(x_ref, a_ref, wo_ref, wos_ref, bo_ref, ls_ref, lb_ref,
                wq_ref, wqs_ref, bq_ref, k_ref, ks_ref, v_ref, vs_ref,
                xo_ref, cross_ref):
-        a = a_ref[0].astype(jnp.bfloat16)
+        # weight matmuls once over all g * K_PAD rows
+        a = a_ref[...].reshape(g * k_pad, d).astype(jnp.bfloat16)
         proj = jnp.dot(a, wo_ref[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-        xn = x_ref[0].astype(jnp.float32) + proj * wos_ref[:] + bo_ref[:]
-        xo_ref[0] = xn
+        xn = (x_ref[...].reshape(g * k_pad, d).astype(jnp.float32)
+              + proj * wos_ref[:] + bo_ref[:])
+        xo_ref[...] = xn.reshape(g, k_pad, d)
         ln = _ln_f32(xn, ls_ref, lb_ref).astype(jnp.bfloat16)
-        qc = jnp.dot(ln, wq_ref[:].astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-        qc = (qc * wqs_ref[:] + bq_ref[:]) * qscale          # (K_PAD, D)
+        qc_all = jnp.dot(ln, wq_ref[:].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        qc_all = (qc_all * wqs_ref[:] + bq_ref[:]) * qscale  # (gK, D)
 
         col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * k_pad, s), 1)
         valid = col_s < s_real
@@ -168,55 +182,59 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
             jnp.int32, (2 * k_pad, s), 0) < k_pad
         col128 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 2 * dh), 1)
 
-        def pair_scales(ref, p):
-            even = jnp.broadcast_to(ref[0, 2 * p : 2 * p + 1, :],
+        def pair_scales(ref, gi, p):
+            even = jnp.broadcast_to(ref[gi, 2 * p : 2 * p + 1, :],
                                     (2 * k_pad, s))
-            odd = jnp.broadcast_to(ref[0, 2 * p + 1 : 2 * p + 2, :],
+            odd = jnp.broadcast_to(ref[gi, 2 * p + 1 : 2 * p + 2, :],
                                    (2 * k_pad, s))
             return jnp.where(top_rows, even, odd)
 
-        def load_pair(ref, c0):
+        def load_pair(ref, gi, c0):
             if packed:
                 return unpack_int4_block(
-                    ref[0, :, c0 : c0 + 2 * dh]).astype(jnp.bfloat16)
-            return ref[0, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
+                    ref[gi, :, c0 : c0 + 2 * dh]).astype(jnp.bfloat16)
+            return ref[gi, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
 
-        for p in range(n_pairs):
-            c0 = p * 2 * dh
-            k_pair = load_pair(k_ref, c0)
-            v_pair = load_pair(v_ref, c0)
-            q_cols = qc[:, c0 : c0 + 2 * dh]                  # (8, 128)
-            # block-diagonal (16, 128): rows 0..7 even head, 8..15 odd
-            q_pair = jnp.concatenate(
-                [jnp.where(col128 < dh, q_cols, 0.0),
-                 jnp.where(col128 >= dh, q_cols, 0.0)], axis=0
-            ).astype(jnp.bfloat16)
-            raw = jax.lax.dot_general(
-                q_pair, k_pair, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                 # (16, S)
-            scores = jnp.where(valid, raw * pair_scales(ks_ref, p),
-                               np.finfo(np.float32).min)
-            probs = jax.nn.softmax(scores, axis=-1)
-            probs = (probs * pair_scales(vs_ref, p)).astype(jnp.bfloat16)
-            out_pair = jax.lax.dot_general(
-                probs, v_pair, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                 # (16, 128)
-            # merged-head layout: cols 0:64 from the even-head rows,
-            # cols 64:128 from the odd-head rows (lane select, no shift)
-            merged = jnp.where(col128 < dh, out_pair[:k_pad],
-                               out_pair[k_pad:])
-            cross_ref[0, :, c0 : c0 + 2 * dh] = merged
+        for gi in range(g):
+            qc = qc_all[gi * k_pad : (gi + 1) * k_pad]
+            for p in range(n_pairs):
+                c0 = p * 2 * dh
+                k_pair = load_pair(k_ref, gi, c0)
+                v_pair = load_pair(v_ref, gi, c0)
+                q_cols = qc[:, c0 : c0 + 2 * dh]              # (8, 128)
+                # block-diagonal (16, 128): rows 0..7 even head, 8..15 odd
+                q_pair = jnp.concatenate(
+                    [jnp.where(col128 < dh, q_cols, 0.0),
+                     jnp.where(col128 >= dh, q_cols, 0.0)], axis=0
+                ).astype(jnp.bfloat16)
+                raw = jax.lax.dot_general(
+                    q_pair, k_pair, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                             # (16, S)
+                scores = jnp.where(
+                    valid, raw * pair_scales(ks_ref, gi, p),
+                    np.finfo(np.float32).min)
+                probs = jax.nn.softmax(scores, axis=-1)
+                probs = (probs * pair_scales(vs_ref, gi, p)
+                         ).astype(jnp.bfloat16)
+                out_pair = jax.lax.dot_general(
+                    probs, v_pair, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                             # (16, 128)
+                # merged-head layout: cols 0:64 from the even-head rows,
+                # cols 64:128 from the odd-head rows (lane select)
+                merged = jnp.where(col128 < dh, out_pair[:k_pad],
+                                   out_pair[k_pad:])
+                cross_ref[gi, :, c0 : c0 + 2 * dh] = merged
 
     const2 = lambda i: (0, 0)  # noqa: E731
 
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),   # x
-            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),   # attn
+            pl.BlockSpec((g, k_pad, d), lambda i: (i, 0, 0)),   # x
+            pl.BlockSpec((g, k_pad, d), lambda i: (i, 0, 0)),   # attn
             pl.BlockSpec((d, d), const2),                       # wo_q
             pl.BlockSpec((1, d), const2),                       # wo_s
             pl.BlockSpec((1, d), const2),                       # bo
@@ -225,14 +243,14 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
             pl.BlockSpec((d, d), const2),                       # wqc_q
             pl.BlockSpec((1, d), const2),                       # wqc_s
             pl.BlockSpec((1, d), const2),                       # bqc
-            pl.BlockSpec((1, s_rows, d), lambda i: (i, 0, 0)),  # ck8
-            pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),       # cks
-            pl.BlockSpec((1, s_rows, d), lambda i: (i, 0, 0)),  # cv8
-            pl.BlockSpec((1, h, s), lambda i: (i, 0, 0)),       # cvs
+            pl.BlockSpec((g, s_rows, d), lambda i: (i, 0, 0)),  # ck8
+            pl.BlockSpec((g, h, s), lambda i: (i, 0, 0)),       # cks
+            pl.BlockSpec((g, s_rows, d), lambda i: (i, 0, 0)),  # cv8
+            pl.BlockSpec((g, h, s), lambda i: (i, 0, 0)),       # cvs
         ],
         out_specs=(
-            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_pad, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_pad, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_pad, d), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k_pad, d), jnp.float32),
