@@ -366,3 +366,48 @@ def test_conditioned_bucket_width_invariance(model, enc_out):
     assert n1 == n2
     assert (np.asarray(o1["tokens"])[0, :n1].tolist()
             == np.asarray(o2["tokens"])[0, :n2].tolist())
+
+
+def test_fused_rules_logprobs_matches_two_stage():
+    """_apply_rules_logprobs == log_softmax(_apply_rules(...)) over random
+    logits and rule states, including rows where the probability-mass rule
+    forces a timestamp (the analytically-renormalized branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.decode import (
+        _apply_rules,
+        _apply_rules_logprobs,
+        _static_suppress_mask,
+    )
+
+    ti = _ti()
+    static_mask = jnp.asarray(_static_suppress_mask(ti))
+    rng = np.random.default_rng(7)
+    n = 12
+    logits = rng.standard_normal((n, VOCAB)).astype(np.float32) * 2.0
+    # Push some rows toward force-timestamp: boost the timestamp block
+    logits[:4, ti.timestamp_begin:] += 6.0
+    ts0 = ti.timestamp_begin
+    n_sampled = jnp.asarray(
+        rng.integers(0, 6, (n,)), jnp.int32).at[0].set(0)
+    last = jnp.asarray(
+        rng.choice([5, 17, ts0 + 3, ts0 + 9], (n,)), jnp.int32)
+    penult = jnp.asarray(
+        rng.choice([5, 17, ts0 + 2, ts0 + 8], (n,)), jnp.int32)
+    max_ts = jnp.asarray(
+        rng.choice([0, ts0 + 1, ts0 + 7], (n,)), jnp.int32)
+
+    for without_ts in (False, True):
+        opts = DecodingOptions(sample_len=16, without_timestamps=without_ts)
+        kw = dict(ti=ti, opts=opts, static_mask=static_mask,
+                  n_sampled=n_sampled, last_tok=last, penult_tok=penult,
+                  max_ts_tok=max_ts)
+        want = jax.nn.log_softmax(
+            _apply_rules(jnp.asarray(logits), **kw), axis=-1)
+        got = _apply_rules_logprobs(jnp.asarray(logits), **kw)
+        want_np, got_np = np.asarray(want), np.asarray(got)
+        finite = np.isfinite(want_np)
+        assert (finite == np.isfinite(got_np)).all()
+        np.testing.assert_allclose(
+            got_np[finite], want_np[finite], rtol=1e-5, atol=1e-5)

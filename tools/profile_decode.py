@@ -410,6 +410,60 @@ def main():
     results["unembed_topk"] = per_iter(timeit(
         unembed_topk, hdn0, params_q["decoder"], repeats=args.repeats))
 
+    # ---- beam-step glue: rules + log_softmax + top-k + bookkeeping -------
+    from ttasr.models.whisper.decode import (
+        TokenizerInfo as _TI,
+        _apply_rules,
+        _static_suppress_mask,
+        DecodingOptions as _DO,
+    )
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer as _bt
+
+    _tok = _bt()
+    _ti = _TI.from_tokenizer(_tok, n_vocab=cfg.vocab_size)
+    _opts = _DO(beam_size=k, sample_len=128, kv_int8=True,
+                cross_kv_int8=True)
+    _smask = jnp.asarray(_static_suppress_mask(_ti))
+    lg0 = jnp.asarray(
+        rng.standard_normal((bk, cfg.vocab_size)).astype(np.float32))
+    nvec = jnp.full((bk,), 5, jnp.int32)
+    lastv = jnp.full((bk,), 123, jnp.int32)
+
+    @jax.jit
+    def rules_softmax_topk(lg):
+        def body(i, carry):
+            logits = _apply_rules(
+                carry, ti=_ti, opts=_opts, static_mask=_smask,
+                n_sampled=nvec, last_tok=lastv, penult_tok=lastv,
+                max_ts_tok=nvec)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            cand = lp.reshape(b, k * cfg.vocab_size)
+            vals, _ = jax.lax.top_k(cand, 2 * k)
+            return carry * (1.0 + 0.0 * vals.sum())
+
+        return jax.lax.fori_loop(0, ITERS, body, lg)
+
+    results["rules_softmax_topk"] = per_iter(timeit(
+        rules_softmax_topk, lg0, repeats=args.repeats))
+
+    from ttasr.models.whisper.decode import _apply_rules_logprobs
+
+    @jax.jit
+    def rules_fused_topk(lg):
+        def body(i, carry):
+            lp = _apply_rules_logprobs(
+                carry, ti=_ti, opts=_opts, static_mask=_smask,
+                n_sampled=nvec, last_tok=lastv, penult_tok=lastv,
+                max_ts_tok=nvec)
+            cand = lp.reshape(b, k * cfg.vocab_size)
+            vals, _ = jax.lax.top_k(cand, 2 * k)
+            return carry * (1.0 + 0.0 * vals.sum())
+
+        return jax.lax.fori_loop(0, ITERS, body, lg)
+
+    results["rules_fused_topk"] = per_iter(timeit(
+        rules_fused_topk, lg0, repeats=args.repeats))
+
     # ---- beam-reorder gather of the self-KV caches -------------------------
     idx0 = jnp.asarray(rng.integers(0, bk, (bk,)), jnp.int32)
 

@@ -25,6 +25,7 @@ embeddings are shifted by the pad count.
 from __future__ import annotations
 
 import dataclasses
+import os
 import zlib
 from functools import partial
 from typing import Any, List, Optional, Sequence, Tuple
@@ -557,6 +558,68 @@ def _apply_rules(logits, *, ti: TokenizerInfo, opts: DecodingOptions,
     return logits
 
 
+def _apply_rules_logprobs(logits, *, ti: TokenizerInfo,
+                          opts: DecodingOptions, static_mask, n_sampled,
+                          last_tok, penult_tok, max_ts_tok):
+    """:func:`_apply_rules` fused with the caller's ``log_softmax``.
+
+    The decode hot loops all need LOGPROBS of the post-rules logits; the
+    two-stage form costs a second full softmax over (N, V) plus ~15
+    materializing elementwise passes (measured 4.2 ms/step at batch 16
+    on one chip — as much as an attention kernel).  This builds ONE
+    suppress mask (every rule except probability-mass is
+    logits-independent), softmaxes once, and applies the mass rule by
+    analytic renormalization: forcing timestamps zeroes the text mass,
+    so the renormalized logprob over the timestamp block is exactly
+    ``lp - ts_mass`` (= logit - logsumexp(ts logits)) — identical math
+    to re-softmaxing the masked logits, with no second pass.
+
+    Token-for-token equal to ``log_softmax(_apply_rules(...))`` up to
+    fp summation order (tests/test_decode.py covers the rule semantics
+    through the one-pass path; `_apply_rules` itself remains for the
+    HF-processor parity fixtures).
+    """
+    v = ti.n_vocab
+    ids = jnp.arange(v)[None, :]
+    masked = logits + static_mask[None, :]
+
+    sup = jnp.zeros(masked.shape, bool)
+    if opts.suppress_blank:
+        blank_ids = jnp.asarray(list(ti.blank) + [ti.eot])
+        sup = sup | ((n_sampled == 0)[:, None] & jnp.isin(ids, blank_ids))
+
+    ts0 = ti.timestamp_begin
+    is_ts = ids >= ts0
+    if opts.without_timestamps:
+        lp = jax.nn.log_softmax(
+            jnp.where(sup | is_ts, NEG_INF, masked), axis=-1)
+        return lp
+
+    last_is_ts = last_tok >= ts0
+    penult_is_ts = penult_tok >= ts0
+    active = n_sampled > 0
+    rule_a = ((active & last_is_ts
+               & ((n_sampled < 2) | penult_is_ts))[:, None] & is_ts)
+    rule_b = ((active & last_is_ts & (n_sampled >= 2)
+               & (~penult_is_ts))[:, None]
+              & ((~is_ts) & (ids != ti.eot)))
+    unpaired_last = active & last_is_ts & (n_sampled >= 2) & (~penult_is_ts)
+    floor = jnp.maximum(max_ts_tok + jnp.where(unpaired_last, 0, 1), ts0)
+    has_ts = max_ts_tok > 0
+    mono = is_ts & (ids < floor[:, None]) & (active & has_ts)[:, None]
+    max_init = ts0 + int(round(opts.max_initial_timestamp / 0.02))
+    first = (n_sampled == 0)[:, None] & ((~is_ts) | (ids > max_init))
+    sup = sup | rule_a | rule_b | mono | first
+
+    lp = jax.nn.log_softmax(jnp.where(sup, NEG_INF, masked), axis=-1)
+    ts_mass = jax.nn.logsumexp(jnp.where(is_ts, lp, NEG_INF), axis=-1)
+    text_max = jnp.max(jnp.where(is_ts, NEG_INF, lp), axis=-1)
+    force = (ts_mass > text_max)[:, None]
+    return jnp.where(force,
+                     jnp.where(is_ts, lp - ts_mass[:, None], NEG_INF),
+                     lp)
+
+
 
 
 def _untranspose_scales(scales_t, h: int):
@@ -745,16 +808,17 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     )
 
     def body(s):
-        logits = _apply_rules(
+        # one-pass rules + softmax (logprobs are shift-invariant per
+        # row, so argmax and temperature sampling are unchanged)
+        logprobs = _apply_rules_logprobs(
             s["logits"], ti=ti, opts=opts, static_mask=static_mask,
             n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
             max_ts_tok=s["max_ts"],
         )
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
         new_rng, sub = jax.random.split(s["rng"])
-        greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        greedy_tok = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
         sampled_tok = jax.random.categorical(
-            sub, logits / jnp.maximum(temperature, 1e-6)[:, None], axis=-1
+            sub, logprobs / jnp.maximum(temperature, 1e-6)[:, None], axis=-1
         ).astype(jnp.int32)
         next_tok = jnp.where(temperature > 0.0, sampled_tok, greedy_tok)
         tok_logprob = jnp.take_along_axis(
@@ -929,12 +993,17 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         state["anc"] = jnp.broadcast_to(own_row, (bk, buckets[0]))
 
     def body(s):
-        logits = _apply_rules(
-            s["logits"], ti=ti, opts=opts, static_mask=static_mask,
-            n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
-            max_ts_tok=s["max_ts"],
-        )
-        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
+        if os.environ.get("TTASR_UNFUSED_RULES"):  # A/B control path
+            logprobs = jax.nn.log_softmax(_apply_rules(
+                s["logits"], ti=ti, opts=opts, static_mask=static_mask,
+                n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
+                max_ts_tok=s["max_ts"]), axis=-1)
+        else:
+            logprobs = _apply_rules_logprobs(            # (BK, V)
+                s["logits"], ti=ti, opts=opts, static_mask=static_mask,
+                n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
+                max_ts_tok=s["max_ts"],
+            )
         v = ti.n_vocab
         cand = s["cum_logprob"][:, None] + logprobs     # (BK, V)
         cand = cand.reshape(b, k * v)
