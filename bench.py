@@ -29,7 +29,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
               compute: str, repeats: int = 3, kv_int8: bool = True,
-              cross_kv_int8: bool = False, cross_kv_int4: bool = False) -> dict:
+              cross_kv_int8: bool = False, cross_kv_int4: bool = False,
+              encoder_act_int8: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -81,9 +82,11 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
 
     decode_fn = beam_decode if beam > 1 else greedy_decode
 
+    act8 = None if encoder_act_int8 else False
+
     def full_pipeline(params, audio, prompt, pad, key):
         mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
-        enc_out = encode(params, cfg, mel)
+        enc_out = encode(params, cfg, mel, act_int8=act8)
         return decode_fn(params, cfg, enc_out, prompt, pad, key,
                          opts=opts, ti=ti)
 
@@ -108,7 +111,8 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
     # through the axon relay would dominate the measurement)
     def enc_only(params, audio):
         mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
-        return jnp.sum(encode(params, cfg, mel).astype(jnp.float32))
+        return jnp.sum(encode(params, cfg, mel,
+                              act_int8=act8).astype(jnp.float32))
 
     enc_jitted = jax.jit(enc_only)
     np.asarray(enc_jitted(params, audio))  # compile
@@ -172,6 +176,11 @@ def main() -> None:
                              "PERF_NOTES.md)")
     parser.add_argument("--no-cross-kv-int4", dest="cross_kv_int4",
                         action="store_false")
+    parser.add_argument("--no-encoder-act-int8", dest="encoder_act_int8",
+                        action="store_false", default=True,
+                        help="disable s8xs8 encoder block matmuls "
+                             "(dynamic activation quantization; default "
+                             "on for --compute int8)")
     args = parser.parse_args()
 
     cross = args.cross_kv_int8
@@ -179,7 +188,8 @@ def main() -> None:
         cross = args.compute == "int8"
     stats = run_bench(args.model, args.batch, args.decode_tokens, args.beam,
                       args.compute, args.repeats, kv_int8=not args.no_kv_int8,
-                      cross_kv_int8=cross, cross_kv_int4=args.cross_kv_int4)
+                      cross_kv_int8=cross, cross_kv_int4=args.cross_kv_int4,
+                      encoder_act_int8=args.encoder_act_int8)
     baseline_rtf = 0.1  # reference GPU RTF (README.md:106)
     print(json.dumps({
         "metric": f"whisper-{args.model}_rtf_per_chip",

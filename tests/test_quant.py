@@ -86,3 +86,66 @@ def test_quantized_param_pspecs():
     assert blocks["wq"]["s"] == P(None, None, "model")
     assert blocks["wo"]["q"] == P(None, "model", None)
     assert blocks["wo"]["s"] == P()
+
+
+def test_quantize_act_roundtrip():
+    from ttasr.ops.quant import quantize_act
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((6, 40)).astype(np.float32) * 3.0
+    xq, xs = quantize_act(x)
+    assert np.asarray(xq).dtype == np.int8
+    assert xs.shape == (6, 1)
+    deq = np.asarray(xq, np.float32) * np.asarray(xs)
+    rel = np.abs(deq - x).max() / np.abs(x).max()
+    assert rel < 0.01
+
+
+def test_quant_matmul_act8_close():
+    import jax.numpy as jnp
+
+    from ttasr.ops.quant import quant_matmul_act8, quantize_act
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 24, 32)).astype(np.float32)
+    w = rng.standard_normal((32, 48)).astype(np.float32) * 0.1
+    b = rng.standard_normal((48,)).astype(np.float32) * 0.05
+    leaf = quantize_tensor(w)
+    xq, xs = quantize_act(jnp.asarray(x))
+    got = np.asarray(quant_matmul_act8(xq, xs, leaf, b,
+                                       out_dtype=jnp.float32))
+    want = x @ w + b
+    # two 8-bit quantizations (activation rows + weight columns)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 0.03, err
+
+
+def test_act8_encoder_blocks_close():
+    """_self_attn_act8/_mlp_act8 vs the bf16 quantized-weight path.
+
+    Uses interpret-mode Pallas via monkeypatched backend detection is
+    not needed: _mlp_act8 is kernel-free, and the attention projections
+    are checked against the dequantized matmul directly.
+    """
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import _mlp, _mlp_act8
+    from ttasr.ops.quant import quantize_params
+
+    cfg = _cfg()
+    params = init_params(cfg, seed=3, dtype=jnp.float32)
+    qparams = quantize_params(params)
+    blkq = {k: (v if not isinstance(v, dict) else
+                {"q": v["q"][0], "s": v["s"][0]})
+            for k, v in qparams["encoder"]["blocks"].items()
+            if not isinstance(v, dict) or set(v.keys()) == {"q", "s"}}
+    # non-quantized per-layer leaves (biases, lns) need slicing too
+    for k, v in qparams["encoder"]["blocks"].items():
+        if not isinstance(v, dict):
+            blkq[k] = v[0]
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 16, cfg.d_model)), jnp.float32)
+    want = np.asarray(_mlp(x, blkq))
+    got = np.asarray(_mlp_act8(x, blkq))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert err < 0.05, err

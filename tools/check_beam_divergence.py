@@ -54,6 +54,13 @@ def main():
                    help="fused path uses int4 nibble-packed cross-KV: "
                         "bounds the int4 quantization error at the "
                         "recognition level, not just kernel numerics")
+    p.add_argument("--ab", default="kernels",
+                   choices=["kernels", "encoder-act8"],
+                   help="kernels: fused-vs-unfused decode kernels "
+                        "(encoder act-int8 off in both). encoder-act8: "
+                        "same unfused decode, encoder s8xs8 on vs off — "
+                        "bounds the activation-quantization error at the "
+                        "recognition level")
     p.add_argument("--out-json", default=None)
     args = p.parse_args()
 
@@ -93,17 +100,22 @@ def main():
     prompt, pad = pad_prompts([prompt_ids] * args.windows, tok.eot)
     key = jax.random.PRNGKey(0)
 
-    @functools.partial(jax.jit, static_argnames=("o",))
-    def pipeline(prms, audio, prompt, pad, key, o):
+    @functools.partial(jax.jit, static_argnames=("o", "act8"))
+    def pipeline(prms, audio, prompt, pad, key, o, act8):
         mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
-        enc_out = encode(prms, cfg, mel)
+        enc_out = encode(prms, cfg, mel, act_int8=act8)
         return beam_decode(prms, cfg, enc_out, prompt, pad, key,
                            opts=o, ti=ti)
 
+    if args.ab == "kernels":
+        legs = (("unfused", qparams, opts, False),
+                ("fused", fparams, opts_fused, False))
+    else:  # encoder-act8: identical unfused decode, encoder s8xs8 A/B
+        legs = (("unfused", qparams, opts, False),
+                ("fused", qparams, opts, True))
     results = {}
-    for name, prms, o in (("unfused", qparams, opts),
-                          ("fused", fparams, opts_fused)):
-        out = pipeline(prms, audio, prompt, pad, key, o)
+    for name, prms, o, act8 in legs:
+        out = pipeline(prms, audio, prompt, pad, key, o, act8)
         results[name] = {
             "tokens": np.asarray(out["tokens"]),
             "lengths": np.asarray(out["lengths"]),
@@ -129,6 +141,7 @@ def main():
             edits.append(_edit_distance(tu, tf))
     cer_delta = cer_metric(texts_u, texts_f)  # fraction
     report = {
+        "ab": args.ab,
         "windows": args.windows,
         "beam": args.beam,
         "sample_len": args.sample_len,

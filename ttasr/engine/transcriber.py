@@ -130,7 +130,8 @@ class WhisperEngine:
                  params: Optional[Any] = None,
                  config: Optional[WhisperConfig] = None,
                  mesh: Optional[Any] = None,
-                 cross_kv_int4: bool = True):
+                 cross_kv_int4: bool = True,
+                 encoder_act_int8: bool = True):
         import jax.numpy as jnp
 
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
@@ -174,9 +175,15 @@ class WhisperEngine:
 
         _cfg = self.cfg
 
+        # s8 x s8 encoder block matmuls (auto: engages when the weights
+        # are int8-quantized and the merged attention kernel is active;
+        # 2x the bf16 MXU rate on v5e).  encoder_act_int8=False forces
+        # bf16 compute on quantized weights.
+        _act8 = None if encoder_act_int8 else False
+
         def _mel_encode(params, audio):
             mel = log_mel_spectrogram(audio, n_mels=_cfg.num_mel_bins)
-            return encode(params, _cfg, mel)
+            return encode(params, _cfg, mel, act_int8=_act8)
 
         # ONE jitted program per batch size: calling the 32-layer encoder
         # eagerly costs hundreds of per-op dispatches through the axon

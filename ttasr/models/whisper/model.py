@@ -209,13 +209,61 @@ def _mlp(x, blk):
     return _proj(h, blk["w2"], blk["b2"])
 
 
+def _self_attn_act8(x, blk, n_heads, t_real):
+    """Merged-layout encoder attention with s8 x s8 projections.
+
+    Activations are dynamically quantized per row (quantize_act) so the
+    q/k/v and out projections run int8 x int8 -> int32 on the MXU — 2x
+    the bf16 matmul rate on v5e (measured 272 vs 158 TFLOP/s at the
+    large-v3 MLP shape).  Attention itself stays bf16 in the Pallas
+    kernel.  The q pre-scale dh**-0.5 folds into the row scales and
+    bias (no extra pass).  CTranslate2-equivalent compute scheme
+    (reference runs compute_type="int8", file_asr.py:188).
+    """
+    from ttasr.ops.encoder_attention_pallas import encoder_attention_merged
+    from ttasr.ops.quant import quant_matmul_act8, quantize_act
+
+    dh = x.shape[-1] // n_heads
+    qs = dh ** -0.5
+    xq, xs = quantize_act(x)
+    qm = quant_matmul_act8(xq, xs * qs, blk["wq"], blk["bq"] * qs,
+                           out_dtype=x.dtype)
+    km = quant_matmul_act8(xq, xs, blk["wk"], out_dtype=x.dtype)
+    vm = quant_matmul_act8(xq, xs, blk["wv"], blk["bv"], out_dtype=x.dtype)
+    out_m = encoder_attention_merged(qm, km, vm, t_real)
+    oq, os_ = quantize_act(out_m)
+    return quant_matmul_act8(oq, os_, blk["wo"], blk["bo"],
+                             out_dtype=x.dtype)
+
+
+def _mlp_act8(x, blk):
+    """Encoder MLP with s8 x s8 matmuls (dynamic activation quant)."""
+    from ttasr.ops.quant import quant_matmul_act8, quantize_act
+
+    xq, xs = quantize_act(x)
+    h = jax.nn.gelu(
+        quant_matmul_act8(xq, xs, blk["w1"], blk["b1"], out_dtype=x.dtype),
+        approximate=False)
+    hq, hs = quantize_act(h)
+    return quant_matmul_act8(hq, hs, blk["w2"], blk["b2"],
+                             out_dtype=x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
 
 def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
-           fused_attention: Optional[bool] = None):
-    """mel: (B, n_mels, 3000) -> hidden states (B, 1500, d_model)."""
+           fused_attention: Optional[bool] = None,
+           act_int8: Optional[bool] = None):
+    """mel: (B, n_mels, 3000) -> hidden states (B, 1500, d_model).
+
+    ``act_int8=None`` auto-enables s8 x s8 block matmuls when the
+    matmul weights are int8-quantized AND the merged attention kernel
+    is active (inference path); pass False to force bf16 compute on
+    quantized weights.  Training params are unquantized, so the
+    training path never takes it.
+    """
     enc = params["encoder"]
     x = jnp.swapaxes(mel, 1, 2)  # NWC
     dtype = enc["conv1_w"].dtype
@@ -254,10 +302,23 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
         if t_pad != t_real:
             x = jnp.pad(x, ((0, 0), (0, t_pad - t_real), (0, 0)))
 
+    from ttasr.ops.quant import is_quantized
+
+    act8 = act_int8 if act_int8 is not None else (
+        use_merged and is_quantized(enc["blocks"].get("w1")))
+    if act8 and not (use_merged and is_quantized(enc["blocks"].get("w1"))):
+        raise ValueError("act_int8 needs quantized weights and the merged "
+                         "attention kernel")
+
     def block(x, blk):
-        x = x + _self_attn(_ln(x, blk["ln1_s"], blk["ln1_b"]), blk,
-                           cfg.encoder_heads, fused=fused, t_real=t_real)
-        x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+        if act8:
+            x = x + _self_attn_act8(h, blk, cfg.encoder_heads, t_real)
+            x = x + _mlp_act8(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        else:
+            x = x + _self_attn(h, blk, cfg.encoder_heads, fused=fused,
+                               t_real=t_real)
+            x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         return x, None
 
     body = jax.checkpoint(block) if remat else block

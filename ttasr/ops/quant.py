@@ -102,6 +102,39 @@ def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def quantize_act(x):
+    """Per-row symmetric int8 activation quantization.
+
+    x (..., K) bf16/f32 -> (int8 (..., K), f32 row scale (..., 1)).
+    Dynamic (computed per call): activations have no calibration set and
+    their range varies per token — the same scheme CTranslate2's int8
+    mode applies to activations on its GPU path.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.round(xf / scale).astype(jnp.int8)
+    return xq, scale
+
+
+def quant_matmul_act8(xq, xs, leaf, b=None, out_dtype=jnp.bfloat16):
+    """s8 x s8 -> s32 matmul on the MXU (2x the bf16 rate on v5e).
+
+    xq (..., M, K) int8 with row scales xs (..., M, 1); leaf a quantized
+    weight {"q": (K, N) int8, "s": (1, N)}.  K <= ~130k keeps the s32
+    accumulator exact (127*127*K < 2^31).  Returns (..., M, N) out_dtype.
+    """
+    q = leaf["q"]
+    acc = jax.lax.dot_general(
+        xq, q, (((xq.ndim - 1,), (q.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    wscale = leaf["s"].reshape(leaf["s"].shape[:-2] + (leaf["s"].shape[-1],))
+    out = acc.astype(jnp.float32) * xs * wscale
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def quant_matmul(x, leaf, preferred=jnp.float32):
     """x @ W for a quantized leaf; int8 streams from HBM, f32 accumulate."""
     q = leaf["q"].astype(x.dtype)
