@@ -154,9 +154,10 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="large-v3")
-    # int4 cross-KV flattened the linear-in-B cross-stream term, moving
-    # the sweet spot 24 -> 32 (0.00518 / 0.00496 / OOM at 24 / 32 / 48)
-    parser.add_argument("--batch", type=int, default=32)
+    # Per-layer cross-KV quantization removed the two ~5.6 GB bf16
+    # prefill temps that OOM'd batch 48; sweet spot moved 32 -> 48
+    # (0.00472 / 0.00456 / 0.00466 at 32 / 48 / 64)
+    parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--decode-tokens", type=int, default=128)
     parser.add_argument("--beam", type=int, default=5)
     parser.add_argument("--compute", default="int8")

@@ -445,12 +445,6 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
     dtype = enc_out.dtype
     cross_kv_int8 = cross_kv_int8 or cross_kv_int4  # int4 is a sub-mode
 
-    def cross_kv(_, blk):
-        k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
-        v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h)
-        return None, (k, v)
-
-    _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])
     shape = (cfg.decoder_layers, b * beam_expand, max_len, h, dh)
     empty = jnp.zeros((0,), jnp.float32)
     cks = cvs = empty
@@ -461,30 +455,48 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
         # pad source length to a sublane multiple for the Pallas kernel
         # (int4: a multiple of 16, so both packed halves stay
         # sublane-aligned at S/2)
-        s_len = ck.shape[2]
-        s_pad = (-s_len) % (16 if cross_kv_int4 else 8)
-        if s_pad:
-            widths = ((0, 0), (0, 0), (0, s_pad), (0, 0), (0, 0))
-            ck = jnp.pad(ck, widths)
-            cv = jnp.pad(cv, widths)
+        s_pad = (-enc_out.shape[1]) % (16 if cross_kv_int4 else 8)
         quant = quantize_kv4 if cross_kv_int4 else quantize_kv
-        ck, cks = jax.vmap(quant)(ck)
-        cv, cvs = jax.vmap(quant)(cv)
-        # int8 K/V stored FLAT (L, B, S, H*Dh): the Pallas kernels read
-        # (S, D) int8 blocks, and a 5-D (.., H, Dh) int8 layout would
-        # both tile-pad the (20, 64) trailing dims in HBM and force a
-        # per-step relayout copy at the kernel boundary.
-        s_total = ck.shape[2]
-        ck = ck.reshape(cfg.decoder_layers, b, s_total, h * dh)
-        cv = cv.reshape(cfg.decoder_layers, b, s_total, h * dh)
-        if cross_kv_int4:
-            # nibble-packed (L, B, S/2, D) uint8 — consumers detect the
-            # packing via dtype (ttasr/ops/int4.py layout)
-            ck = pack_int4(ck)
-            cv = pack_int4(cv)
-        # scales in the kernel's compact (B, H, S) layout
-        cks = jax.vmap(transpose_scales)(cks)
-        cvs = jax.vmap(transpose_scales)(cvs)
+
+        # Quantize INSIDE the scan body: stacking the full bf16
+        # (L, B, S, H, Dh) K/V as scan outputs and quantizing after
+        # materialized two ~5.6 GB HBM temps at batch 48 (the exact
+        # allocations that OOM'd the batch-48 bench) — per layer the
+        # bf16 intermediate is ~hundreds of MB and transient.
+        def cross_kv_q(_, blk):
+            k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
+            v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h)
+            if s_pad:
+                widths = ((0, 0), (0, s_pad), (0, 0), (0, 0))
+                k = jnp.pad(k, widths)
+                v = jnp.pad(v, widths)
+            kq, ks_ = quant(k)
+            vq, vs_ = quant(v)
+            # int8 K/V stored FLAT (B, S, H*Dh): the Pallas kernels
+            # read (S, D) int8 blocks, and a 5-D (.., H, Dh) int8
+            # layout would both tile-pad the (20, 64) trailing dims in
+            # HBM and force a per-step relayout copy at the boundary.
+            s_total = kq.shape[1]
+            kq = kq.reshape(b, s_total, h * dh)
+            vq = vq.reshape(b, s_total, h * dh)
+            if cross_kv_int4:
+                # nibble-packed (B, S/2, D) uint8 — consumers detect
+                # the packing via dtype (ttasr/ops/int4.py layout)
+                kq = pack_int4(kq)
+                vq = pack_int4(vq)
+            # scales in the kernel's compact (B, H, S) layout
+            return None, (kq, transpose_scales(ks_),
+                          vq, transpose_scales(vs_))
+
+        _, (ck, cks, cv, cvs) = jax.lax.scan(cross_kv_q, None,
+                                             dec["blocks"])
+    else:
+        def cross_kv(_, blk):
+            k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
+            v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h)
+            return None, (k, v)
+
+        _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])
     if kv_int8:
         if flat_kv:
             bk = b * beam_expand
