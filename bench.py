@@ -168,7 +168,10 @@ def main() -> None:
                         help="int8 cross-KV via the fused kernels (default: "
                              "on for --compute int8)")
     parser.add_argument("--no-cross-kv-int8", dest="cross_kv_int8",
-                        action="store_false")
+                        action="store_false",
+                        help="bf16 cross-KV cache: also disables the int4 "
+                             "sub-mode (decode._use_cross_int4 requires "
+                             "cross_kv_int8)")
     parser.add_argument("--cross-kv-int4", dest="cross_kv_int4",
                         action="store_true", default=True,
                         help="int4 nibble-packed cross-KV (default on; "

@@ -121,12 +121,8 @@ def test_quant_matmul_act8_close():
 
 
 def test_act8_encoder_blocks_close():
-    """_self_attn_act8/_mlp_act8 vs the bf16 quantized-weight path.
-
-    Uses interpret-mode Pallas via monkeypatched backend detection is
-    not needed: _mlp_act8 is kernel-free, and the attention projections
-    are checked against the dequantized matmul directly.
-    """
+    """_mlp_act8 vs the bf16 quantized-weight MLP (kernel-free path);
+    the attention block is covered by test_self_attn_act8_close."""
     import jax.numpy as jnp
 
     from ttasr.models.whisper.model import _mlp, _mlp_act8
@@ -149,3 +145,36 @@ def test_act8_encoder_blocks_close():
     got = np.asarray(_mlp_act8(x, blkq))
     err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert err < 0.05, err
+
+
+def test_self_attn_act8_close():
+    """_self_attn_act8 (incl. the dh**-0.5 fold into row scales + bias)
+    vs the unfused bf16 attention on the same quantized weights.
+
+    The merged kernel runs in interpret mode (CPU backend); shapes meet
+    its contract: dh = 64, d % 128 == 0, T a multiple of 256, and
+    t_real = T so the unfused reference (which never masks) matches.
+    """
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import _self_attn, _self_attn_act8
+
+    d, n_heads, t = 128, 2, 256
+    rng = np.random.default_rng(5)
+
+    def wleaf(scale=0.1):
+        return quantize_tensor(
+            rng.standard_normal((d, d)).astype(np.float32) * scale)
+
+    blk = {
+        "wq": wleaf(), "wk": wleaf(), "wv": wleaf(), "wo": wleaf(),
+        "bq": jnp.asarray(rng.standard_normal((d,)), jnp.float32) * 0.05,
+        "bv": jnp.asarray(rng.standard_normal((d,)), jnp.float32) * 0.05,
+        "bo": jnp.asarray(rng.standard_normal((d,)), jnp.float32) * 0.05,
+    }
+    x = jnp.asarray(rng.standard_normal((2, t, d)), jnp.float32)
+    want = np.asarray(_self_attn(x, blk, n_heads, fused=False))
+    got = np.asarray(
+        _self_attn_act8(x, blk, n_heads, t, interpret=True))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert err < 0.06, err

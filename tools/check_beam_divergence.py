@@ -63,6 +63,11 @@ def main():
                         "recognition level")
     p.add_argument("--out-json", default=None)
     args = p.parse_args()
+    if args.cross_int4 and args.ab != "kernels":
+        # opts_fused is only consumed by the "kernels" legs; silently
+        # ignoring the flag would mislabel the archived bound
+        p.error("--cross-int4 only applies to --ab kernels "
+                "(the encoder-act8 A/B runs both legs with int8 cross-KV)")
 
     import jax
     import jax.numpy as jnp
@@ -142,6 +147,7 @@ def main():
     cer_delta = cer_metric(texts_u, texts_f)  # fraction
     report = {
         "ab": args.ab,
+        "cross_int4": bool(args.cross_int4),
         "windows": args.windows,
         "beam": args.beam,
         "sample_len": args.sample_len,

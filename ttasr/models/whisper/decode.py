@@ -84,9 +84,16 @@ class DecodingOptions:
     # cost buys out the 4.6 ms Pallas permuted-copy gather entirely.
     beam_indirect: bool = True
     # int4 nibble-packed cross-KV (fused-kernel path only): halves the
-    # dominant per-step HBM stream again.  Opt-in; quantization error is
-    # bounded by tools/check_beam_divergence.py --cross-int4, not assumed.
+    # dominant per-step HBM stream again.  A sub-mode of cross_kv_int8
+    # (both must be set; the engine and bench default BOTH on).
+    # Quantization error is bounded by tools/check_beam_divergence.py
+    # --cross-int4, not assumed.
     cross_kv_int4: bool = False
+    # A/B control: run the two-stage rules + log_softmax path instead of
+    # _apply_rules_logprobs.  Part of the jit cache key (opts is static);
+    # beam_decode's wrapper sets it from TTASR_UNFUSED_RULES at call
+    # time, so toggling the env between calls recompiles correctly.
+    unfused_rules: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -679,8 +686,14 @@ def _use_cross_int4(params, cfg: WhisperConfig, opts: DecodingOptions) -> bool:
     cache only has in-VMEM unpack paths in the Pallas kernels and the
     once-per-window XLA prefill fallback — under a mesh (unfused
     GSPMD-partitioned graph) the per-step XLA unpack would materialize,
-    so the option is silently ignored there (like ``beam_indirect``)."""
+    so the option is silently ignored there (like ``beam_indirect``).
+
+    Requires ``cross_kv_int8`` too: int4 is a sub-mode of the quantized
+    cross pipeline, so disabling cross_kv_int8 (bench --no-cross-kv-int8,
+    engine compute_type != int8) yields the bf16 cross cache rather than
+    silently keeping int4 active."""
     return (opts.cross_kv_int4
+            and opts.cross_kv_int8
             and _use_flat_kv(params, cfg, opts)
             and cfg.decoder_heads % 2 == 0)
 
@@ -909,9 +922,25 @@ def _gather_cache(cache: DecodeCache, idx) -> DecodeCache:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "opts", "ti"))
 def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                 *, opts: DecodingOptions, ti: TokenizerInfo):
+    """Beam-search decode (beam_size = opts.beam_size) of B windows.
+
+    Thin wrapper that resolves the TTASR_UNFUSED_RULES A/B env var at
+    CALL time into the static ``opts.unfused_rules`` flag — reading the
+    env at trace time would leave it out of the jit cache key, so
+    toggling it within one process would silently reuse the other leg's
+    compiled program.  See :func:`_beam_decode` for semantics.
+    """
+    if os.environ.get("TTASR_UNFUSED_RULES") and not opts.unfused_rules:
+        opts = dataclasses.replace(opts, unfused_rules=True)
+    return _beam_decode(params, cfg, enc_out, prompt, pad_len, rng,
+                        opts=opts, ti=ti)
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts", "ti"))
+def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
+                 *, opts: DecodingOptions, ti: TokenizerInfo):
     """Beam-search decode (beam_size = opts.beam_size) of B windows.
 
     Follows openai-whisper BeamSearchDecoder semantics: per-audio
@@ -993,7 +1022,7 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         state["anc"] = jnp.broadcast_to(own_row, (bk, buckets[0]))
 
     def body(s):
-        if os.environ.get("TTASR_UNFUSED_RULES"):  # A/B control path
+        if opts.unfused_rules:  # A/B control path (static: in the jit key)
             logprobs = jax.nn.log_softmax(_apply_rules(
                 s["logits"], ti=ti, opts=opts, static_mask=static_mask,
                 n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
@@ -1153,6 +1182,12 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 # ---------------------------------------------------------------------------
 # Host-side helpers
 # ---------------------------------------------------------------------------
+
+# The raw (unjitted) python function, for callers that monkeypatch
+# module internals and need a fresh trace (tests); jax.jit provides it
+# on _beam_decode via functools.wraps.
+beam_decode.__wrapped__ = _beam_decode.__wrapped__
+
 
 def compression_ratio(text: str) -> float:
     data = text.encode("utf-8")

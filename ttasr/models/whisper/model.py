@@ -209,7 +209,7 @@ def _mlp(x, blk):
     return _proj(h, blk["w2"], blk["b2"])
 
 
-def _self_attn_act8(x, blk, n_heads, t_real):
+def _self_attn_act8(x, blk, n_heads, t_real, *, interpret: bool = False):
     """Merged-layout encoder attention with s8 x s8 projections.
 
     Activations are dynamically quantized per row (quantize_act) so the
@@ -230,7 +230,7 @@ def _self_attn_act8(x, blk, n_heads, t_real):
                            out_dtype=x.dtype)
     km = quant_matmul_act8(xq, xs, blk["wk"], out_dtype=x.dtype)
     vm = quant_matmul_act8(xq, xs, blk["wv"], blk["bv"], out_dtype=x.dtype)
-    out_m = encoder_attention_merged(qm, km, vm, t_real)
+    out_m = encoder_attention_merged(qm, km, vm, t_real, interpret=interpret)
     oq, os_ = quantize_act(out_m)
     return quant_matmul_act8(oq, os_, blk["wo"], blk["bo"],
                              out_dtype=x.dtype)
@@ -413,12 +413,9 @@ def quantize_kv(x):
 
     x: (B, T, H, Dh) -> (int8 values, f32 scales (B, T, H)).
     """
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
-    ).astype(jnp.int8)
-    return q, scale
+    from ttasr.ops.quant import quantize_kv_sym
+
+    return quantize_kv_sym(x, levels=127)
 
 
 def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,

@@ -3,8 +3,10 @@
 The cross-KV stream is the dominant per-step HBM term of fused int8
 decode (PERF_NOTES.md round 3: ~5 ms of a 15 ms step at batch 16, ~2x
 its own roofline).  Packing K/V to int4 halves that stream again.
-Opt-in via ``DecodingOptions.cross_kv_int4`` — quantization error is
-bounded empirically by tools/check_beam_divergence.py, not assumed.
+Enabled via ``DecodingOptions.cross_kv_int4`` (default-on in the engine
+and bench since the recognition-level bound came back clean) —
+quantization error is bounded empirically by
+tools/check_beam_divergence.py, not assumed.
 
 Layout — sublane-half packing: a (S, D) int4 tensor (S a multiple of
 16) stores as (S/2, D) uint8 where byte ``[s, d]`` holds slot ``s`` in
@@ -20,20 +22,31 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ttasr.ops.quant import quantize_kv_sym
+
 
 def quantize_kv4(x):
     """Per (row, slot, head) symmetric int4 quantization of K/V entries.
 
     x: (B, T, H, Dh) -> (int8 values in [-7, 7], f32 scales (B, T, H)).
-    Mirrors :func:`ttasr.models.whisper.model.quantize_kv` at 4-bit
-    range; values stay int8-typed until :func:`pack_int4`.
+    Same scheme as :func:`ttasr.models.whisper.model.quantize_kv` at
+    4-bit range; values stay int8-typed until :func:`pack_int4`.
     """
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(absmax, 1e-8) / 7.0
-    q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7
-    ).astype(jnp.int8)
-    return q, scale
+    return quantize_kv_sym(x, levels=7)
+
+
+def _nibble_decode(packed):
+    """uint8 nibble pair -> (lo, hi) int32 two's-complement values.
+
+    The single decode site for both the XLA unpack and the in-kernel
+    block unpack — a layout or sign-extension change happens here once.
+    int32 intermediates: Mosaic lowers 8-bit bitwise/shift lanes
+    inconsistently across versions.
+    """
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = ((p >> 4) ^ 8) - 8
+    return lo, hi
 
 
 def pack_int4(q):
@@ -52,20 +65,15 @@ def pack_int4(q):
 
 def unpack_int4(packed, dtype=jnp.int8):
     """(.., S/2, D) uint8 -> (.., S, D) signed values (slot order)."""
-    p = packed.astype(jnp.int32)
-    lo = ((p & 0xF) ^ 8) - 8
-    hi = ((p >> 4) ^ 8) - 8
+    lo, hi = _nibble_decode(packed)
     return jnp.concatenate([lo, hi], axis=-2).astype(dtype)
 
 
 def unpack_int4_block(block_u8):
     """In-kernel unpack of a 2-D (S/2, cols) uint8 VMEM block.
 
-    Returns (S, cols) int32 in slot order.  int32 intermediates: Mosaic
-    lowers 8-bit bitwise/shift lanes inconsistently across versions, and
-    the (S/2, 128) int32 transient is a few hundred KB of VMEM.
+    Returns (S, cols) int32 in slot order; the (S/2, 128) int32
+    transient is a few hundred KB of VMEM.
     """
-    p = block_u8.astype(jnp.int32)
-    lo = ((p & 0xF) ^ 8) - 8
-    hi = ((p >> 4) ^ 8) - 8
+    lo, hi = _nibble_decode(block_u8)
     return jax.lax.concatenate([lo, hi], 0)

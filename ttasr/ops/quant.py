@@ -102,6 +102,21 @@ def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def quantize_kv_sym(x, levels: int):
+    """Per (row, slot, head) symmetric K/V-entry quantization.
+
+    x: (B, T, H, Dh) -> (int8 values in [-levels, levels], f32 scales
+    (B, T, H)).  ``levels=127`` is the int8 KV cache scheme
+    (model.quantize_kv), ``levels=7`` the int4 one (int4.quantize_kv4).
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / levels
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -levels, levels
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_act(x):
     """Per-row symmetric int8 activation quantization.
 
