@@ -91,8 +91,9 @@ class DecodingOptions:
     cross_kv_int4: bool = False
     # A/B control: run the two-stage rules + log_softmax path instead of
     # _apply_rules_logprobs.  Part of the jit cache key (opts is static);
-    # beam_decode's wrapper sets it from TTASR_UNFUSED_RULES at call
-    # time, so toggling the env between calls recompiles correctly.
+    # the beam_decode/greedy_decode wrappers set it from
+    # TTASR_UNFUSED_RULES at call time, so toggling the env between calls
+    # recompiles correctly.
     unfused_rules: bool = False
 
 
@@ -752,10 +753,33 @@ def _pad_cache_to(cache: DecodeCache, new_len: int) -> DecodeCache:
 # Greedy / sampling decode
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "opts", "ti"))
+def _env_unfused_rules() -> bool:
+    """Explicit truthiness for TTASR_UNFUSED_RULES: "0"/"false"/"no"/""
+    disable, "1"/"true"/"yes" enable (any other non-empty value also
+    enables, with the usual flag-env convention)."""
+    val = os.environ.get("TTASR_UNFUSED_RULES", "").strip().lower()
+    return val not in ("", "0", "false", "no")
+
+
 def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                   temperature=None, *, opts: DecodingOptions,
                   ti: TokenizerInfo):
+    """Greedy / temperature-sampled decode — see :func:`_greedy_decode`.
+
+    Thin wrapper resolving the TTASR_UNFUSED_RULES A/B env var at CALL
+    time into the static ``opts.unfused_rules`` flag, symmetric with
+    :func:`beam_decode` (the flag is honored by both decode paths).
+    """
+    if _env_unfused_rules() and not opts.unfused_rules:
+        opts = dataclasses.replace(opts, unfused_rules=True)
+    return _greedy_decode(params, cfg, enc_out, prompt, pad_len, rng,
+                          temperature, opts=opts, ti=ti)
+
+
+@partial(jax.jit, static_argnames=("cfg", "opts", "ti"))
+def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
+                   temperature=None, *, opts: DecodingOptions,
+                   ti: TokenizerInfo):
     """Greedy / temperature-sampled decode of one batch of 30 s windows.
 
     Args:
@@ -821,13 +845,19 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     )
 
     def body(s):
-        # one-pass rules + softmax (logprobs are shift-invariant per
-        # row, so argmax and temperature sampling are unchanged)
-        logprobs = _apply_rules_logprobs(
-            s["logits"], ti=ti, opts=opts, static_mask=static_mask,
-            n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
-            max_ts_tok=s["max_ts"],
-        )
+        if opts.unfused_rules:  # A/B control path (static: in the jit key)
+            logprobs = jax.nn.log_softmax(_apply_rules(
+                s["logits"], ti=ti, opts=opts, static_mask=static_mask,
+                n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
+                max_ts_tok=s["max_ts"]), axis=-1)
+        else:
+            # one-pass rules + softmax (logprobs are shift-invariant per
+            # row, so argmax and temperature sampling are unchanged)
+            logprobs = _apply_rules_logprobs(
+                s["logits"], ti=ti, opts=opts, static_mask=static_mask,
+                n_sampled=s["n"], last_tok=s["last"], penult_tok=s["penult"],
+                max_ts_tok=s["max_ts"],
+            )
         new_rng, sub = jax.random.split(s["rng"])
         greedy_tok = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
         sampled_tok = jax.random.categorical(
@@ -932,7 +962,7 @@ def beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     toggling it within one process would silently reuse the other leg's
     compiled program.  See :func:`_beam_decode` for semantics.
     """
-    if os.environ.get("TTASR_UNFUSED_RULES") and not opts.unfused_rules:
+    if _env_unfused_rules() and not opts.unfused_rules:
         opts = dataclasses.replace(opts, unfused_rules=True)
     return _beam_decode(params, cfg, enc_out, prompt, pad_len, rng,
                         opts=opts, ti=ti)
