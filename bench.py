@@ -63,7 +63,7 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
         eot=base.eot, sot=base.sot, no_timestamps=base.no_timestamps,
         timestamp_begin=base.timestamp_begin, no_speech=base.no_speech,
         blank=base.blank, suppress=tuple(sorted(set(base.suppress) | {base.eot})),
-        n_vocab=base.n_vocab,
+        n_vocab=base.n_vocab, pad_vocab_begin=base.pad_vocab_begin,
     )
     opts = DecodingOptions(beam_size=beam, sample_len=decode_tokens,
                            without_timestamps=False, kv_int8=kv_int8,

@@ -411,3 +411,52 @@ def test_fused_rules_logprobs_matches_two_stage():
         assert (finite == np.isfinite(got_np)).all()
         np.testing.assert_allclose(
             got_np[finite], want_np[finite], rtol=1e-5, atol=1e-5)
+
+
+def test_pad_vocab_ids_suppressed():
+    """Models whose head is wider than the tokenizer's id space (e.g. the
+    byte-fallback test tokenizer under a 51866-wide head) must never emit
+    the padding ids: they decode to nothing, and being >= timestamp_begin
+    they would parse as absurd timestamps (hours-long seek advances —
+    the bench_e2e.py round-4 failure mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.decode import (
+        DecodingOptions, TokenizerInfo, _static_suppress_mask, beam_decode,
+        pad_prompts)
+    from ttasr.models.whisper.model import init_params
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    n_vocab = tok.vocab_size + 512  # padded head
+    ti = TokenizerInfo.from_tokenizer(tok, n_vocab=n_vocab)
+    assert ti.pad_vocab_begin == max(tok.vocab_size,
+                                     tok.timestamp_begin + 1501)
+    mask = _static_suppress_mask(ti)
+    assert (mask[ti.pad_vocab_begin:] < -1e30).all()
+    assert mask[ti.timestamp_begin] == 0.0
+
+    # full-vocab tokenizers mask nothing extra
+    ti_full = TokenizerInfo.from_tokenizer(tok, n_vocab=tok.vocab_size)
+    assert ti_full.pad_vocab_begin is None
+
+    # decode end-to-end: no emitted id reaches the padding range
+    cfg = WhisperConfig(name="t", vocab_size=n_vocab, num_mel_bins=80,
+                        d_model=64, encoder_layers=2, encoder_heads=4,
+                        decoder_layers=2, decoder_heads=4, ffn_dim=128,
+                        max_source_positions=32)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    enc_out = jnp.asarray(rng.standard_normal(
+        (2, cfg.max_source_positions, cfg.d_model)).astype(np.float32))
+    prompt, pad = pad_prompts([[ti.sot]] * 2, ti.eot, width=16)
+    out = beam_decode(params, cfg, enc_out, prompt, pad,
+                      jax.random.PRNGKey(0),
+                      opts=DecodingOptions(beam_size=3, sample_len=12),
+                      ti=ti)
+    toks = np.asarray(out["tokens"])
+    lens = np.asarray(out["lengths"])
+    for row, n in zip(toks, lens):
+        assert (row[:n] < ti.pad_vocab_begin).all(), row[:n]

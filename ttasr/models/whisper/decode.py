@@ -109,9 +109,21 @@ class TokenizerInfo:
     blank: Tuple[int, ...]          # ids of " " (for SuppressBlank)
     suppress: Tuple[int, ...]       # static suppress list
     n_vocab: int
+    # First id of the model's vocab PADDING (ids past the tokenizer's
+    # real id space, e.g. a model head wider than the tokenizer).  These
+    # ids decode to nothing and — being >= timestamp_begin — would parse
+    # as absurd timestamps (hours-long seek advances); the static mask
+    # bans them.  None when the tokenizer covers the full model vocab
+    # (real Whisper vocabs: ts_end == n_vocab, nothing masked).
+    pad_vocab_begin: Optional[int] = None
 
     @classmethod
     def from_tokenizer(cls, tok, n_vocab: Optional[int] = None) -> "TokenizerInfo":
+        n_vocab = n_vocab or tok.vocab_size
+        ts_end = None
+        if tok.timestamp_begin is not None:
+            ts_end = tok.timestamp_begin + 1501  # <|0.00|>..<|30.00|>
+        id_space_end = max(tok.vocab_size, ts_end or 0)
         return cls(
             eot=tok.eot,
             sot=tok.sot,
@@ -120,7 +132,8 @@ class TokenizerInfo:
             no_speech=tok.no_speech,
             blank=tuple(tok.encode(" ")),
             suppress=tuple(tok.suppress_tokens_default()),
-            n_vocab=n_vocab or tok.vocab_size,
+            n_vocab=n_vocab,
+            pad_vocab_begin=(id_space_end if n_vocab > id_space_end else None),
         )
 
 
@@ -503,6 +516,10 @@ def _static_suppress_mask(ti: TokenizerInfo) -> np.ndarray:
         if 0 <= t < ti.n_vocab:
             mask[t] = NEG_INF
     mask[ti.no_timestamps] = NEG_INF
+    if ti.pad_vocab_begin is not None:
+        # vocab padding past the tokenizer's id space: undecodable, and
+        # ids >= timestamp_begin would parse as absurd timestamps
+        mask[ti.pad_vocab_begin:] = NEG_INF
     return mask
 
 
