@@ -330,3 +330,252 @@ def test_multislice_mesh_single_slice():
     assert mesh.axis_names == ("dcn_data", "data", "model")
     assert mesh.shape["model"] == 2
     assert mesh.shape["dcn_data"] * mesh.shape["data"] * 2 == 8
+
+
+def _train_fixture():
+    """Tiny cfg + batch + optimizer shared by the multi-slice/ZeRO tests."""
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.train.train_step import make_optimizer
+
+    cfg = WhisperConfig(name="t", vocab_size=256, num_mel_bins=80,
+                        d_model=64, encoder_layers=2, encoder_heads=4,
+                        decoder_layers=2, decoder_heads=4, ffn_dim=128,
+                        max_source_positions=32)
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": rng.standard_normal((4, 80, 64)).astype(np.float32),
+        "decoder_input_ids": rng.integers(0, 256, (4, 8)).astype(np.int32),
+        "labels": rng.integers(0, 256, (4, 8)).astype(np.int32),
+    }
+    return cfg, batch, make_optimizer(total_steps=10, warmup_steps=2)
+
+
+def _run_one_step(cfg, batch, optimizer, mesh):
+    import jax
+
+    from ttasr.models.whisper.model import init_params
+    from ttasr.parallel.sharding import shard_params
+    from ttasr.train.train_step import init_train_state, make_train_step
+
+    with mesh:
+        params = shard_params(init_params(cfg, seed=0), mesh)
+        state = init_train_state(params, optimizer, mesh=mesh)
+        step = make_train_step(cfg, optimizer, mesh=mesh, remat=True)
+        state, loss = step(state, batch)
+        return float(jax.device_get(loss)), jax.tree.map(
+            lambda x: np.asarray(jax.device_get(x)), state.params)
+
+
+def test_multislice_two_slice_train_parity():
+    """VERDICT r3 #3: the train step on a forced 2-slice
+    ("dcn_data"=2, "data"=2, "model"=2) mesh — the gradient all-reduce
+    decomposes into ICI + DCN legs — must match the single-mesh (4,2)
+    run: same loss, same updated params."""
+    from ttasr.parallel.distributed import create_multislice_mesh
+    from ttasr.parallel.sharding import create_mesh
+
+    cfg, batch, optimizer = _train_fixture()
+    loss1, params1 = _run_one_step(cfg, batch, optimizer,
+                                   create_mesh(data=4, model=2))
+    mesh2 = create_multislice_mesh(model=2, force_slices=2)
+    assert dict(mesh2.shape) == {"dcn_data": 2, "data": 2, "model": 2}
+    loss2, params2 = _run_one_step(cfg, batch, optimizer, mesh2)
+
+    assert abs(loss1 - loss2) < 1e-5
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_zero1_opt_state_sharded_and_parity():
+    """VERDICT r3 #4 (ZeRO-1): AdamW moments shard over the data axis —
+    verify (a) the moment leaves really are partitioned (per-shard bytes
+    < global bytes), (b) one train step matches the replicated-state
+    run exactly."""
+    import jax
+
+    from ttasr.models.whisper.model import init_params
+    from ttasr.parallel.sharding import create_mesh, shard_params
+    from ttasr.train.train_step import init_train_state, make_train_step
+
+    cfg, batch, optimizer = _train_fixture()
+    mesh = create_mesh(data=4, model=2)
+
+    with mesh:
+        # separate param trees: the train step donates its input state,
+        # so the two runs must not share buffers
+        params_a = shard_params(init_params(cfg, seed=0), mesh)
+        params_b = shard_params(init_params(cfg, seed=0), mesh)
+        state_repl = init_train_state(params_a, optimizer)          # baseline
+        state_z1 = init_train_state(params_b, optimizer, mesh=mesh)  # ZeRO-1
+
+        # (a) the big moment leaves are data-sharded: their addressable
+        # per-device shard is smaller than the global array
+        big = [x for x in jax.tree.leaves(state_z1.opt_state)
+               if hasattr(x, "ndim") and x.ndim >= 2 and x.size >= 4096]
+        assert big, "fixture has no big moment leaves"
+        sharded_frac = [
+            np.prod(x.sharding.shard_shape(x.shape)) / x.size for x in big
+        ]
+        assert min(sharded_frac) <= 1 / 4, sharded_frac  # data axis took a dim
+
+        step = make_train_step(cfg, optimizer, mesh=mesh, remat=True)
+        out_repl, loss_repl = step(state_repl, batch)
+        out_z1, loss_z1 = step(state_z1, batch)
+
+    assert abs(float(loss_repl) - float(loss_z1)) < 1e-6
+    for a, b in zip(jax.tree.leaves(out_repl.params),
+                    jax.tree.leaves(out_z1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_large_v3_training_fits_16gb_mesh():
+    """VERDICT r3 #4: account every resident tensor class per chip for
+    large-v3 training on the (4,2) mesh from the REAL sharding specs
+    (abstract shapes, no compile) — must fit a 16 GB v5e, and the
+    ZeRO-1 moment sharding must be what makes the difference."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from memory_accounting import account
+
+    stats = account("large-v3", data=4, model_axis=2, batch=4)["per_chip_gb"]
+    assert stats["total"] < 16.0, stats
+    # without ZeRO-1 the moments alone would roughly double the budget
+    assert (stats["adamw_moments_if_replicated"]
+            > 2.5 * stats["adamw_moments_zero1"]), stats
+    # sanity: the accounting is not trivially tiny (params really are GBs)
+    assert stats["params_f32"] > 2.0, stats
+
+
+def test_large_v3_sharding_specs_smoke():
+    """VERDICT r3 #7: spec sanitization at REAL large-v3 shapes on the
+    (4,2) mesh — the toy-shape dryrun can't catch indivisible-dim
+    fallbacks.  Asserts the big weights actually shard (no silent
+    replication) and the embed's odd vocab is the only fallback."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ttasr.models.whisper.config import get_config
+    from ttasr.models.whisper.model import init_params
+    from ttasr.parallel.sharding import (
+        create_mesh, param_pspecs, sanitize_spec)
+
+    cfg = get_config("large-v3")
+    mesh = create_mesh(data=4, model=2)
+    abstract = jax.eval_shape(
+        lambda: init_params(cfg, seed=0, dtype=jnp.float32))
+    specs = param_pspecs(abstract)
+
+    def sanitized(path_leaf_spec):
+        leaf, spec = path_leaf_spec
+        return sanitize_spec(spec, leaf.shape, mesh)
+
+    dec = abstract["decoder"]["blocks"]
+    dspec = specs["decoder"]["blocks"]
+    # the big matrices keep their model sharding at large-v3 dims
+    for name in ("wq", "wv", "w1", "w2", "wo", "wq_c"):
+        s = sanitize_spec(dspec[name], dec[name].shape, mesh)
+        assert "model" in jax.tree.leaves(tuple(s)), (name, s)
+    # vocab 51866 is even: the embed shards too
+    s = sanitize_spec(specs["decoder"]["embed"],
+                      abstract["decoder"]["embed"].shape, mesh)
+    assert s == P("model", None)
+
+
+def test_large_v3_sharded_programs_lower():
+    """VERDICT r3 #7: abstract-lower (trace + partition, no backend
+    compile) the sharded train step AND the sharded beam-decode program
+    at the real large-v3 config over the (4,2) mesh — catches sharding
+    rule/spec errors the d_model-64 dryrun cannot."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ttasr.models.whisper.config import get_config
+    from ttasr.models.whisper.decode import (
+        DecodingOptions, TokenizerInfo, _beam_decode)
+    from ttasr.models.whisper.model import init_params
+    from ttasr.parallel.sharding import (
+        create_mesh, param_pspecs, sanitize_spec)
+
+    cfg = get_config("large-v3")
+    mesh = create_mesh(data=4, model=2)
+    abstract = jax.eval_shape(
+        lambda: init_params(cfg, seed=0, dtype=jnp.bfloat16))
+    specs = param_pspecs(abstract)
+    params_abs = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            x.shape, x.dtype,
+            sharding=NamedSharding(mesh, sanitize_spec(s, x.shape, mesh))),
+        abstract, specs)
+
+    ti = TokenizerInfo(eot=50257, sot=50258, no_timestamps=50364,
+                       timestamp_begin=50365, no_speech=50362,
+                       blank=(220,), suppress=(1, 2, 7),
+                       n_vocab=cfg.vocab_size)
+    opts = DecodingOptions(beam_size=5, sample_len=32)
+    b = 4
+    enc_abs = jax.ShapeDtypeStruct(
+        (b, cfg.max_source_positions, cfg.d_model), jnp.bfloat16,
+        sharding=NamedSharding(mesh, P("data", None, None)))
+    prompt = np.full((b, 16), ti.sot, np.int32)
+    pad = np.zeros((b,), np.int32)
+    key = jax.random.PRNGKey(0)
+    lowered = _beam_decode.lower(params_abs, cfg, enc_abs, prompt, pad, key,
+                                 opts=opts, ti=ti)
+    assert lowered is not None
+
+    # sharded train step at large-v3 (f32 master + ZeRO-1 moment specs)
+    from ttasr.parallel.sharding import zero1_moment_spec
+    from ttasr.train.train_step import (
+        TrainState, make_optimizer, make_train_step)
+
+    abstract32 = jax.eval_shape(
+        lambda: init_params(cfg, seed=0, dtype=jnp.float32))
+    params32_abs = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(
+            x.shape, x.dtype,
+            sharding=NamedSharding(mesh, sanitize_spec(s, x.shape, mesh))),
+        abstract32, specs)
+    optimizer = make_optimizer(total_steps=10, warmup_steps=2)
+    opt_abs = jax.eval_shape(optimizer.init, abstract32)
+
+    pstruct = jax.tree.structure(abstract32)
+
+    def place_opt(node):
+        try:
+            if jax.tree.structure(node) == pstruct:
+                return jax.tree.map(
+                    lambda x, s: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype,
+                        sharding=NamedSharding(
+                            mesh, zero1_moment_spec(s, x.shape, mesh))),
+                    node, specs)
+        except Exception:
+            pass
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(mesh, P())), node)
+
+    opt_abs = jax.tree.map(
+        place_opt, opt_abs,
+        is_leaf=lambda n: (jax.tree.structure(n) == pstruct
+                           if not isinstance(n, jax.ShapeDtypeStruct)
+                           else True))
+    state_abs = TrainState(
+        step=jax.ShapeDtypeStruct((), jnp.int32,
+                                  sharding=NamedSharding(mesh, P())),
+        params=params32_abs, opt_state=opt_abs)
+    batch_abs = {
+        "mel": jax.ShapeDtypeStruct((4, cfg.num_mel_bins, 3000), jnp.float32),
+        "decoder_input_ids": jax.ShapeDtypeStruct((4, 448), jnp.int32),
+        "labels": jax.ShapeDtypeStruct((4, 448), jnp.int32),
+    }
+    step = make_train_step(cfg, optimizer, mesh=mesh, remat=True,
+                           compute_dtype=jnp.bfloat16)
+    lowered = step.lower(state_abs, batch_abs)
+    assert lowered is not None

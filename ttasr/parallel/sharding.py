@@ -120,3 +120,77 @@ def data_pspec(ndim: int = 1):
     from jax.sharding import PartitionSpec as P
 
     return P("data", *([None] * (ndim - 1)))
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+
+def _data_axes(mesh) -> tuple:
+    return tuple(a for a in ("dcn_data", "data")
+                 if a in mesh.axis_names and mesh.shape[a] > 1)
+
+
+def zero1_moment_spec(param_spec, shape, mesh):
+    """Extend a param's (sanitized) spec with data-axis sharding on the
+    first free divisible dim — each data shard owns a slice of the AdamW
+    m/v moments (ZeRO-1 stage: optimizer state partitioned over data
+    parallelism; GSPMD inserts the gather at update time).
+
+    Whisper's stacked-block layout makes dim 0 the layer axis (e.g.
+    (32, 1280, 1280)), which divides typical data-axis sizes — so the
+    moments of the big matrices shard cleanly even when the tensor dims
+    are taken by the model axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = _data_axes(mesh)
+    if not axes:
+        return sanitize_spec(param_spec, shape, mesh)
+    dsize = int(np.prod([mesh.shape[a] for a in axes]))
+    entry = axes if len(axes) > 1 else axes[0]
+    base = list(tuple(sanitize_spec(param_spec, shape, mesh)))
+    base += [None] * (len(shape) - len(base))
+    for i, (dim, ax) in enumerate(zip(shape, base)):
+        if ax is None and dim % dsize == 0 and dim >= dsize:
+            base[i] = entry
+            break
+    return P(*base)
+
+
+def shard_opt_state(opt_state, params, mesh):
+    """Place an optax state on the mesh with ZeRO-1 moment sharding.
+
+    Subtrees with the params' tree structure (AdamW ``mu``/``nu``) get
+    :func:`zero1_moment_spec` placement; scalar bookkeeping (step counts)
+    replicates.  Numerically identical to replicated state — only the
+    placement changes; XLA lowers the implied reduce-scatter/all-gather.
+
+    Reference context: large-v3 AdamW f32 state is ~12.4 GB and does not
+    fit one 16 GB v5e next to params+grads (the reference sizes the same
+    workload at a >=40 GB GPU, README.md:108) — sharding m/v over the
+    data axis is what makes the run.sh recipe fit the mesh.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    specs = param_pspecs(params)
+    pstruct = jax.tree.structure(params)
+
+    def is_moment_tree(node):
+        try:
+            return jax.tree.structure(node) == pstruct
+        except Exception:
+            return False
+
+    def place(node):
+        if is_moment_tree(node):
+            return jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(mesh, zero1_moment_spec(s, x.shape, mesh))
+                ),
+                node, specs,
+            )
+        return jax.device_put(node, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, opt_state, is_leaf=is_moment_tree)

@@ -138,19 +138,31 @@ def make_train_step(cfg: WhisperConfig, optimizer: optax.GradientTransformation,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     # Params/opt_state keep the shardings they were placed with
-    # (ttasr.parallel.shard_params).  The batch shards dim 0 over "data"
-    # for every leaf (prefix spec — robust to optional keys like
-    # num_frames); remaining dims replicate.
+    # (ttasr.parallel.shard_params / zero1_opt_state).  The batch shards
+    # dim 0 over every data-like axis — ("dcn_data","data") on a
+    # multi-slice mesh, so the gradient all-reduce decomposes into an
+    # intra-slice ICI reduce plus an inter-slice DCN reduce — for every
+    # leaf (prefix spec: robust to optional keys like num_frames).
+    batch_axes = (("dcn_data", "data") if "dcn_data" in mesh.axis_names
+                  else "data")
     return jax.jit(
         train_step,
-        in_shardings=(None, NamedSharding(mesh, P("data"))),
+        in_shardings=(None, NamedSharding(mesh, P(batch_axes))),
         donate_argnums=(0,),
     )
 
 
-def init_train_state(params, optimizer) -> TrainState:
+def init_train_state(params, optimizer, mesh=None) -> TrainState:
+    """Init the train state; with a mesh, the AdamW moments shard over
+    the data axis (ZeRO-1, :func:`ttasr.parallel.sharding.shard_opt_state`)
+    so large-v3's ~12.4 GB f32 m/v never sits replicated per chip."""
+    opt_state = optimizer.init(params)
+    if mesh is not None:
+        from ttasr.parallel.sharding import shard_opt_state
+
+        opt_state = shard_opt_state(opt_state, params, mesh)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=optimizer.init(params),
+        opt_state=opt_state,
     )

@@ -113,7 +113,7 @@ class Trainer:
                 self.optimizer,
                 every_k_schedule=self.tc.gradient_accumulation_steps,
             )
-        self.state = init_train_state(params, self.optimizer)
+        self.state = init_train_state(params, self.optimizer, mesh=self.mesh)
         spec_aug = None
         if self.tc.apply_spec_augment:
             from ttasr.train.spec_augment import SpecAugmentConfig
