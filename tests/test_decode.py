@@ -300,23 +300,32 @@ def test_finished_set_insert_vectorization():
         cand_tokens = rng.integers(0, 100, (B, 2 * K, T))
         cand_n = rng.integers(0, T, (B, 2 * K))
 
-        # sequential reference (the former fori_loop semantics)
+        # sequential reference (openai BeamSearchDecoder.update: scan
+        # candidates best-first, STOP at the K-th non-eot survivor — an
+        # eot finishes only while fewer than K survivors are collected)
         ft, fl, fp = fin_tokens.copy(), fin_len.copy(), fin_logprob.copy()
         fc = fin_count.copy()
         for b in range(B):
             c = int(fin_count[b])
+            survivors = 0
             for i in range(2 * K):
-                if is_eot[b, i] and c < K:
-                    ft[b, c] = cand_tokens[b, i]
-                    fl[b, c] = cand_n[b, i]
-                    fp[b, c] = top_val[b, i]
-                    c += 1
+                if is_eot[b, i]:
+                    if survivors < K and c < K:
+                        ft[b, c] = cand_tokens[b, i]
+                        fl[b, c] = cand_n[b, i]
+                        fp[b, c] = top_val[b, i]
+                        c += 1
+                else:
+                    survivors += 1
             fc[b] = c
 
         # vectorized (mirrors decode.py beam body)
-        eot_rank = np.cumsum(is_eot, axis=1) - 1
+        non_eot = (~is_eot).astype(np.int32)
+        non_eot_before = np.cumsum(non_eot, axis=1) - non_eot
+        qualifies = is_eot & (non_eot_before < K)
+        eot_rank = np.cumsum(qualifies, axis=1) - 1
         slot = fin_count[:, None] + eot_rank
-        can_store = is_eot & (slot < K) & (eot_rank >= 0)
+        can_store = qualifies & (slot < K) & (eot_rank >= 0)
         sel = can_store[:, None, :] & (
             slot[:, None, :] == np.arange(K)[None, :, None])
         has = sel.any(axis=2)

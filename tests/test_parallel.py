@@ -579,3 +579,121 @@ def test_large_v3_sharded_programs_lower():
                            compute_dtype=jnp.bfloat16)
     lowered = step.lower(state_abs, batch_abs)
     assert lowered is not None
+
+
+def _tp_cfg():
+    """dh=64 config (the fused kernels' layout) small enough for CPU
+    interpret mode: 4 heads -> 2 local heads on a model-2 mesh."""
+    from ttasr.models.whisper.config import WhisperConfig
+
+    return WhisperConfig(name="tp", vocab_size=512, num_mel_bins=80,
+                         d_model=256, encoder_layers=2, encoder_heads=4,
+                         decoder_layers=2, decoder_heads=4, ffn_dim=512,
+                         max_source_positions=32)
+
+
+def _tp_ti():
+    from ttasr.models.whisper.decode import TokenizerInfo
+
+    return TokenizerInfo(eot=500, sot=499, no_timestamps=498,
+                         timestamp_begin=300, no_speech=497,
+                         blank=(32,), suppress=(1, 2, 3), n_vocab=512)
+
+
+@pytest.mark.parametrize("cross_int4", [False, True])
+def test_tp_fused_decode_token_parity(cross_int4):
+    """VERDICT r3 #2: the fused Pallas decode kernels, run per-shard
+    inside shard_map with heads split over the model axis, must emit the
+    single-chip fused path's tokens (interpret mode on the 8-CPU mesh).
+    Covers beam (ancestry indirection) and greedy, int8 self-KV +
+    int8/int4 cross-KV, and the batch-padding path (b=3 on data=4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.decode import (
+        DecodingOptions, beam_decode, greedy_decode, pad_prompts)
+    from ttasr.models.whisper.model import init_params
+    from ttasr.ops.quant import fuse_qkv, quantize_params
+    from ttasr.parallel.sharding import create_mesh
+    from ttasr.parallel.tp import TPDecoder, tp_eligible
+
+    cfg = _tp_cfg()
+    ti = _tp_ti()
+    params = init_params(cfg, seed=0)
+    qparams = quantize_params(params)
+    fused = fuse_qkv(qparams)
+    mesh = create_mesh(data=4, model=2)
+    assert tp_eligible(qparams, cfg, mesh)
+
+    rng = np.random.default_rng(5)
+    for b in (4, 3):  # exact fit and the padded remainder
+        enc = jnp.asarray(rng.standard_normal(
+            (b, cfg.max_source_positions, cfg.d_model)).astype(np.float32))
+        prompt, pad = pad_prompts([[ti.sot]] * b, ti.eot, width=16)
+        key = jax.random.PRNGKey(0)
+        opts = DecodingOptions(beam_size=3, sample_len=10, kv_int8=True,
+                               cross_kv_int8=True, cross_kv_int4=cross_int4)
+        single = beam_decode(fused, cfg, enc, prompt, pad, key,
+                             opts=opts, ti=ti)
+        tp = TPDecoder(qparams, cfg, mesh)
+        sharded = tp.beam(enc, prompt, pad, key, opts=opts, ti=ti)
+        np.testing.assert_array_equal(np.asarray(single["tokens"]),
+                                      np.asarray(sharded["tokens"]))
+        np.testing.assert_array_equal(np.asarray(single["lengths"]),
+                                      np.asarray(sharded["lengths"]))
+
+        gopts = DecodingOptions(beam_size=1, sample_len=10, kv_int8=True,
+                                cross_kv_int8=True, cross_kv_int4=cross_int4)
+        gs = greedy_decode(fused, cfg, enc, prompt, pad, key, 0.0,
+                           opts=gopts, ti=ti)
+        gt = tp.greedy(enc, prompt, pad, key, 0.0, opts=gopts, ti=ti)
+        np.testing.assert_array_equal(np.asarray(gs["tokens"]),
+                                      np.asarray(gt["tokens"]))
+
+
+def test_engine_mesh_keeps_fused_tp_path():
+    """WhisperEngine(mesh=, compute_type=int8) must keep the fused fast
+    path (TPDecoder) instead of downgrading to the unfused GSPMD graph,
+    and transcribe() segments must match the single-chip fused engine."""
+    from ttasr.engine.transcriber import WhisperEngine
+    from ttasr.models.whisper.model import init_params
+    from ttasr.parallel.sharding import create_mesh
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    import dataclasses as dc
+
+    # full 1500-position encoder (the engine feeds real 30 s windows)
+    cfg = dc.replace(_tp_cfg(), vocab_size=tok.vocab_size,
+                     max_source_positions=1500)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    t = np.arange(16000) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 250 * t)
+             + 0.02 * rng.standard_normal(16000)).astype(np.float32)
+
+    # disable the quality gates: random weights fail them on every rung,
+    # laddering to SAMPLED decodes whose random streams legitimately
+    # differ between the (B, V) single-chip draw and per-shard draws —
+    # the test pins the deterministic beam path
+    kwargs = dict(beam_size=2, vad_filter=False, max_new_tokens=8,
+                  log_prob_threshold=None, compression_ratio_threshold=None,
+                  no_speech_threshold=None)
+    base = WhisperEngine("tp", params=params, config=cfg, tokenizer=tok,
+                         compute_type="int8")
+    assert base._tp is None
+    segs0, _ = base.transcribe(audio, **kwargs)
+
+    mesh = create_mesh(data=4, model=2)
+    tp_engine = WhisperEngine("tp", params=params, config=cfg,
+                              tokenizer=tok, compute_type="int8", mesh=mesh)
+    assert tp_engine._tp is not None, "fused TP path not engaged"
+    # share the single-chip encoder: the GSPMD-sharded encoder's
+    # reduction order differs at the ~1e-6 level, which legitimately
+    # flips near-tie beam picks of a RANDOM-weight model — the decode
+    # path (the part this test pins) must match token-for-token
+    tp_engine.encode_windows = base.encode_windows
+    segs1, _ = tp_engine.transcribe(audio, **kwargs)
+    assert segs0 and segs1
+    assert [s.tokens for s in segs1] == [s.tokens for s in segs0]
+    assert [s.text for s in segs1] == [s.text for s in segs0]

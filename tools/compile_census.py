@@ -1,0 +1,143 @@
+"""Shape/compile census for the serving stack (VERDICT r3 #8).
+
+Every distinct (program, static shape) the serving paths can hit costs a
+remote TPU compile (20 s – 5 min on the axon relay; BENCH_r03 measured
+351 s for ONE bench config).  This tool enumerates the reachable compiled
+-program space from the REAL bucketing functions — prompt-width buckets
+(``decode.pad_prompts``), streaming token budgets
+(``jax_whisper_asr._token_budget``), growth buckets (internal to one
+program, NOT separate compiles), batch groups — and reports the count
+and estimated cold-start cost per serving configuration.
+
+Use it to budget warm-up (``FASTAPI_WARMUP`` pre-compiles the streaming
+buckets) and to spot unreachable combos before they cost a compile.
+
+    python tools/compile_census.py --slots 8 --streams on
+
+Costs are estimates parameterized on measured per-program compile times
+(large-v3 via the relay: beam decode ~90-180 s, greedy ~60-120 s,
+encoder ~30-60 s); pass --per-compile-s to recalibrate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROMPT_BUCKETS = (16, 32, 64, 144, 256)   # decode.pad_prompts
+STREAM_BUDGETS = (48, 96, 224)            # jax_whisper_asr._token_budget
+WINDOW_BUDGET = 224                       # SAMPLE_LEN
+
+
+def census(slots: int = 4, *, beam_size: int = 5, best_of: int = 5,
+           streaming: bool = True, file_api: bool = True,
+           sequential_cli: bool = False, initial_prompt: bool = True,
+           prefix: bool = False) -> list:
+    """Enumerate reachable (program, shape) combos for one serving config.
+
+    Returns [(family, key, reachable_reason)] — one entry per compile.
+    """
+    programs = []
+    seen = set()
+
+    def add(family, key, why):
+        if (family, key) in seen:  # one compile serves every reachable path
+            return
+        seen.add((family, key))
+        programs.append((family, key, why))
+
+    # ---- batch sizes that reach the device --------------------------------
+    batches = set()
+    if streaming or file_api:
+        batches.add(slots)           # BatchServer pads every group to slots
+    if sequential_cli:
+        batches.add(1)               # engine.transcribe seek loop
+        batches.add(best_of)         # temperature>0 best_of batched decode
+
+    # ---- encoder (mel + encode), one per (batch, dtype) -------------------
+    for b in sorted(batches):
+        add("encoder", (b, "int16"), "file/task uploads ship int16 PCM")
+        if streaming:
+            add("encoder", (b, "float32"), "streaming scratch is f32")
+
+    # ---- prompt buckets reachable per path ---------------------------------
+    # seek-loop window 1: sot_seq (3-4 tokens) -> 16; +initial_prompt -> 32;
+    # steady-state conditioned carry -> 144 (build_prompt caps prev at 127);
+    # 64 bridges short carries; 256 only with long prefix= prompts.
+    file_prompts = [16, 144]
+    if initial_prompt:
+        file_prompts.append(32)
+    file_prompts.append(64)
+    if prefix:
+        file_prompts.append(256)
+    stream_prompts = [32 if initial_prompt else 16]
+
+    # ---- decode programs ----------------------------------------------------
+    for b in sorted(batches):
+        if file_api or sequential_cli:
+            for p in sorted(set(file_prompts)):
+                add("beam_decode",
+                    (b, p, WINDOW_BUDGET, f"beam{beam_size}"),
+                    "task/CLI window decode (temperature 0)")
+                # fallback ladder rungs > 0 sample (greedy program, traced
+                # temperature: ONE compile serves every rung)
+                add("greedy_decode", (b, p, WINDOW_BUDGET),
+                    "fallback ladder t>0 (one compile, traced temperature)")
+        if streaming:
+            for p in stream_prompts:
+                for budget in STREAM_BUDGETS:
+                    add("greedy_decode", (b, p, budget),
+                        "streaming partial (bucketed token budget)")
+    # lang-detect prefill (engine.detect_language): tiny, width-16
+    if sequential_cli:
+        add("lang_logits", (1, 16), "language auto-detect")
+    return programs
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--slots", type=int, default=4)
+    parser.add_argument("--beam", type=int, default=5)
+    parser.add_argument("--streams", choices=("on", "off"), default="on")
+    parser.add_argument("--file-api", choices=("on", "off"), default="on")
+    parser.add_argument("--cli", choices=("on", "off"), default="off",
+                        help="sequential engine.transcribe path (batch-1 "
+                             "programs)")
+    parser.add_argument("--per-compile-s", type=float, default=90.0,
+                        help="mean remote compile seconds per program "
+                             "(relay-measured range 20-350)")
+    args = parser.parse_args()
+
+    progs = census(args.slots, beam_size=args.beam,
+                   streaming=args.streams == "on",
+                   file_api=args.file_api == "on",
+                   sequential_cli=args.cli == "on")
+    by_family: dict = {}
+    for fam, key, why in progs:
+        by_family.setdefault(fam, []).append((key, why))
+    total = len(progs)
+    print(f"reachable compiled programs: {total} "
+          f"(~{total * args.per_compile_s / 60:.0f} min cold start at "
+          f"{args.per_compile_s:.0f} s/compile)\n")
+    for fam, items in sorted(by_family.items()):
+        print(f"{fam} ({len(items)}):")
+        for key, why in items:
+            print(f"  {str(key):28s} {why}")
+    print("\nnotes:")
+    print("- growth buckets (32/64/128/... new tokens) live INSIDE one "
+          "compiled decode program (lax.while_loop segments), not as "
+          "separate compiles")
+    print("- the temperature ladder shares ONE greedy compile per shape "
+          "(temperature is traced)")
+    print("- prompt bucket 256 is reachable only via prefix= prompts "
+          "(>144 tokens); unreachable in the shipped API surface -> "
+          "excluded unless --cli with prefix usage")
+    print("- FASTAPI_WARMUP pre-compiles the streaming buckets through "
+          "the real chunk path at startup")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,8 +40,6 @@ import numpy as np
 from ttasr.models.whisper.decode import (
     DecodingOptions,
     TokenizerInfo,
-    beam_decode,
-    greedy_decode,
     pad_prompts,
 )
 from ttasr.models.whisper.model import encode
@@ -351,11 +349,11 @@ class BatchServer:
         prompt, pad = pad_prompts(prompts, self.ti.eot)
         rng = jax.random.PRNGKey(self._steps)
         if is_beam:
-            out = beam_decode(engine.params, engine.cfg, enc_out, prompt,
-                              pad, rng, opts=opts, ti=self.ti)
+            out = engine.run_beam_decode(enc_out, prompt, pad, rng,
+                                         opts=opts)
         else:
-            out = greedy_decode(engine.params, engine.cfg, enc_out, prompt,
-                                pad, rng, temps, opts=opts, ti=self.ti)
+            out = engine.run_greedy_decode(enc_out, prompt, pad, rng, temps,
+                                           opts=opts)
         tokens = np.asarray(out["tokens"])
         lengths = np.asarray(out["lengths"])
         sum_logprob = np.asarray(out["sum_logprob"])

@@ -151,16 +151,24 @@ class WhisperEngine:
         # recognition-level divergence vs the unfused int8 path measured
         # exact (tools/check_beam_divergence.py --cross-int4, PERF_NOTES)
         self.cross_kv_int4 = cross_kv_int4 and self.kv_cache_int8
+        self._tp = None
         if compute_type == "int8":
             from ttasr.ops.quant import fuse_qkv, quantize_params
 
             self.params = quantize_params(self.params)
             if mesh is None:
-                # The fused Pallas decode kernels are the single-chip fast
-                # path; under a mesh the engine keeps the unfused int8 XLA
-                # graph, which GSPMD partitions cleanly (a pallas_call has
-                # no sharding rule and would force replication).
                 self.params = fuse_qkv(self.params)
+            else:
+                # Mesh + int8: the fused Pallas kernels keep running —
+                # per-shard inside shard_map with heads split over the
+                # "model" axis (ttasr.parallel.tp; a pallas_call has no
+                # GSPMD sharding rule, so pjit alone would replicate it).
+                # Shapes that don't qualify (head_dim != 64, indivisible
+                # heads) fall back to the unfused GSPMD int8 graph.
+                from ttasr.parallel.tp import TPDecoder, tp_eligible
+
+                if tp_eligible(self.params, self.cfg, mesh):
+                    self._tp = TPDecoder(self.params, self.cfg, mesh)
         if mesh is not None:
             # Tensor-parallel serving: Megatron column/row-split specs over
             # the mesh "model" axis (SURVEY.md §2.3 "Required for
@@ -223,6 +231,27 @@ class WhisperEngine:
 
     # -- low-level window decode ------------------------------------------
 
+    def run_beam_decode(self, enc_out, prompt, pad, rng, opts: DecodingOptions):
+        """Dispatch a beam decode: the shard_map fused TP path under a
+        qualifying mesh, else the module-level (single-chip fused or
+        GSPMD unfused) program.  Shared by the sequential seek loop and
+        the BatchServer so every serving path stays decode-equivalent."""
+        if self._tp is not None:
+            return self._tp.beam(enc_out, prompt, pad, rng,
+                                 opts=opts, ti=self.ti)
+        return beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
+                           opts=opts, ti=self.ti)
+
+    def run_greedy_decode(self, enc_out, prompt, pad, rng, temperature,
+                          opts: DecodingOptions):
+        """Greedy/sampled counterpart of :meth:`run_beam_decode`
+        (temperature may be scalar or per-row)."""
+        if self._tp is not None:
+            return self._tp.greedy(enc_out, prompt, pad, rng, temperature,
+                                   opts=opts, ti=self.ti)
+        return greedy_decode(self.params, self.cfg, enc_out, prompt, pad,
+                             rng, temperature, opts=opts, ti=self.ti)
+
     def _decode_window(self, enc_out, prompt_ids: List[int],
                        opts: TranscribeOptions, temperature: float):
         import jax
@@ -247,8 +276,8 @@ class WhisperEngine:
             cross_kv_int4=self.cross_kv_int4 and kv_int8,
         )
         if temperature == 0.0 and opts.beam_size > 1:
-            out = beam_decode(self.params, self.cfg, enc_out, prompt, pad, rng,
-                              opts=dec_opts, ti=self.ti)
+            out = self.run_beam_decode(enc_out, prompt, pad, rng,
+                                       opts=dec_opts)
             pick = 0
         elif temperature > 0.0 and opts.best_of > 1:
             # best_of candidates as ONE batched decode (faster-whisper
@@ -263,9 +292,8 @@ class WhisperEngine:
             )
             prompt_k = np.repeat(np.asarray(prompt), k, axis=0)
             pad_k = np.repeat(np.asarray(pad), k, axis=0)
-            out = greedy_decode(self.params, self.cfg, enc_rep, prompt_k,
-                                pad_k, rng, temperature, opts=dec_opts,
-                                ti=self.ti)
+            out = self.run_greedy_decode(enc_rep, prompt_k, pad_k, rng,
+                                         temperature, opts=dec_opts)
             lengths = np.asarray(out["lengths"])
             sums = np.asarray(out["sum_logprob"])
             # GoogleNMT length penalty, openai MaximumLikelihoodRanker
@@ -274,8 +302,8 @@ class WhisperEngine:
         else:
             # temperature is traced: the whole fallback ladder shares one
             # compiled greedy program
-            out = greedy_decode(self.params, self.cfg, enc_out, prompt, pad,
-                                rng, temperature, opts=dec_opts, ti=self.ti)
+            out = self.run_greedy_decode(enc_out, prompt, pad, rng,
+                                         temperature, opts=dec_opts)
             pick = 0
         n = int(out["lengths"][pick])
         tokens = [int(t) for t in np.asarray(out["tokens"])[pick, :n]]

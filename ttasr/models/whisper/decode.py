@@ -95,6 +95,11 @@ class DecodingOptions:
     # TTASR_UNFUSED_RULES at call time, so toggling the env between calls
     # recompiles correctly.
     unfused_rules: bool = False
+    # Tensor-parallel mesh axis name when the decode body runs per-shard
+    # inside shard_map (ttasr.parallel.tp.beam_decode_tp): attention
+    # kernels see local heads; merged outputs all-gather over this axis.
+    # None = single-chip / GSPMD paths (no collectives emitted).
+    tp_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,7 +148,12 @@ class TokenizerInfo:
 
 def _qkv_proj(h, blk, cfg: WhisperConfig):
     """Self-attn q/k/v projections; consumes the fused ``wqkv`` layout
-    (ttasr.ops.quant.fuse_qkv) when present."""
+    (ttasr.ops.quant.fuse_qkv) when present.
+
+    Head count derives from the projection WIDTH (local width // global
+    head_dim), so tensor-parallel shards — whose blocks carry only their
+    local heads' columns (ttasr.parallel.tp) — split correctly.
+    """
     if "wqkv" in blk:
         qkv = _proj(h, blk["wqkv"], blk["bqkv"])
         q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -151,17 +161,33 @@ def _qkv_proj(h, blk, cfg: WhisperConfig):
         q = _proj(h, blk["wq"], blk["bq"])
         k_new = _proj(h, blk["wk"])
         v_new = _proj(h, blk["wv"], blk["bv"])
-    split = lambda t: _split_heads(t, cfg.decoder_heads)  # noqa: E731
+    dh = cfg.d_model // cfg.decoder_heads
+    split = lambda t: _split_heads(t, t.shape[-1] // dh)  # noqa: E731
     return split(q), split(k_new), split(v_new)
 
 
-def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
+def _tp_gather(x, tp_axis):
+    """Concatenate head-local last-dim blocks across the tensor-parallel
+    mesh axis.  No-op outside shard_map (``tp_axis=None``) — the
+    single-chip fast path is byte-identical.  Shard i holds heads
+    [i*h_loc, (i+1)*h_loc), so the tiled gather restores head order."""
+    if tp_axis is None:
+        return x
+    return jax.lax.all_gather(x, tp_axis, axis=x.ndim - 1, tiled=True)
+
+
+def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
+             tp_axis=None):
     """Teacher-forced pass over the fixed-size prompt buffer.
 
     tokens: (B, MAX_PROMPT) int32, left-padded; real tokens occupy
     positions ``pad_len..MAX_PROMPT-1`` and get positional indices
     ``0..real-1``.  pad_len: (B,) int32.
     Returns (logits (B, MAX_PROMPT, V), cache).
+
+    ``tp_axis``: mesh axis name when running per-shard inside shard_map
+    (ttasr.parallel.tp) — attention runs on the shard's local heads and
+    the merged outputs all-gather before the replicated wo/wo_c/MLP.
     """
     dec = params["decoder"]
     b, t = tokens.shape
@@ -221,15 +247,19 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache):
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
         # prefill attends its own (exact) K/V block
         attn = _attention(q, k_new, v_new, mask)
-        x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
+        x = x + _proj(_tp_gather(_merge_heads(attn), tp_axis),
+                      blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
-        qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
+        qc_flat = _proj(hc, blk["wq_c"], blk["bq_c"])
+        qc = _split_heads(qc_flat,
+                          qc_flat.shape[-1] // (cfg.d_model // cfg.decoder_heads))
         if cross_quantized:
             cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
                                           cfg.max_source_positions)
         else:
             cross = _cross_attention(qc, ck, cv)
-        x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
+        x = x + _proj(_tp_gather(_merge_heads(cross), tp_axis),
+                      blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         if quantized:
             return x, (k_cache, v_cache, ks_cache, vs_cache)
@@ -259,7 +289,7 @@ def _logits_at(params, hidden):
 
 
 def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
-          anc=None):
+          anc=None, tp_axis=None):
     """Single-token decode at global cache slot ``slot`` (scalar int32).
 
     token: (B, 1).  pad_len: (B,) — pad slots stay masked out.
@@ -267,6 +297,10 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
     physical row per cache position) — beam_decode passes it on the flat
     fused-kernel path so the self-attention kernel reads through the
     indirection instead of a physically reordered cache.
+    tp_axis: mesh axis name inside shard_map (ttasr.parallel.tp): the
+    attention kernels run the shard's LOCAL heads (the KV cache streams
+    — the dominant per-step HBM terms — split across chips); merged
+    attention/cross outputs all-gather before the replicated wo/MLP.
     """
     dec = params["decoder"]
     b = token.shape[0]
@@ -310,7 +344,10 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
             blk["wqkv"]["q"], blk["wqkv"]["s"], blk["bqkv"],
             interpret=interp,
         )
-        h, dh = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
+        # local head count from the projection width (= global heads on
+        # one chip; heads/shard under tensor parallelism)
+        dh = cfg.d_model // cfg.decoder_heads
+        h = (qkv.shape[-1] // 3) // dh
         bk = x2.shape[0]
         b_audio = ck.shape[0]
         group = bk // b_audio
@@ -323,7 +360,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                 self_attn_step_int8,
             )
 
-            d = cfg.d_model
+            d = h * dh  # local width (== cfg.d_model on one chip)
             hp = ks_cache.shape[1]
             cache_len = k_cache.shape[1]
             if anc is not None:
@@ -362,7 +399,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                         sc_pad(ksn), sc_pad(vsn))
         else:
             q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
-            split = lambda t: _split_heads(t[:, None, :], cfg.decoder_heads)  # noqa: E731
+            split = lambda t: _split_heads(t[:, None, :], h)  # noqa: E731
             q, k_new, v_new = split(q), split(k_new), split(v_new)
             k8, k_scale = quantize_kv(k_new)
             v8, v_scale = quantize_kv(v_new)
@@ -375,6 +412,10 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
             attn = _quant_self_attention(q, k_cache, ks_cache, v_cache,
                                          vs_cache, mask)
             attn2 = _merge_heads(attn)[:, 0].astype(jnp.float32)
+        # TP: gather local-head attention before the replicated wo —
+        # the attnout kernels fuse wo@attn + residual + LN, so the
+        # collective must land here, not after the kernel
+        attn2 = _tp_gather(attn2, tp_axis)
         if cross_quantized and dh == 64 and h % 2 == 0 and group <= 8:
             # attn out-proj + lnc + cross-q + int8 cross-attention in ONE
             # kernel per layer: the int8 cross-KV stream (the dominant
@@ -400,7 +441,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                 group=audios_per_program, interpret=interp,
             )
             xo = xo_g.reshape(bk, cfg.d_model)
-            cross2 = cross_g.reshape(bk, cfg.d_model)
+            cross2 = _tp_gather(cross_g.reshape(bk, h * dh), tp_axis)
         else:
             xo, qc = attnout_ln_q_fused(
                 x2, attn2,
@@ -409,13 +450,15 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                 blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
                 interpret=interp,
             )
-            qc = _split_heads(qc[:, None, :].astype(x.dtype), h)
+            qc = _split_heads(qc[:, None, :].astype(x.dtype),
+                              qc.shape[-1] // dh)
             if cross_quantized:
                 cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
                                               cfg.max_source_positions)
             else:
                 cross = _cross_attention(qc, ck, cv)
-            cross2 = _merge_heads(cross)[:, 0].astype(jnp.float32)
+            cross2 = _tp_gather(
+                _merge_heads(cross)[:, 0].astype(jnp.float32), tp_axis)
         x_new = mlp_with_crossout_int8(
             xo, cross2,
             blk["wo_c"]["q"], blk["wo_c"]["s"], blk["bo_c"],
@@ -455,15 +498,19 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
             k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, slot, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, slot, axis=1)
             attn = _attention(q, k_cache, v_cache, mask)
-        x = x + _proj(_merge_heads(attn), blk["wo"], blk["bo"])
+        x = x + _proj(_tp_gather(_merge_heads(attn), tp_axis),
+                      blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
-        qc = _split_heads(_proj(hc, blk["wq_c"], blk["bq_c"]), cfg.decoder_heads)
+        qc_flat = _proj(hc, blk["wq_c"], blk["bq_c"])
+        qc = _split_heads(qc_flat,
+                          qc_flat.shape[-1] // (cfg.d_model // cfg.decoder_heads))
         if cross_quantized:
             cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
                                           cfg.max_source_positions)
         else:
             cross = _cross_attention(qc, ck, cv)
-        x = x + _proj(_merge_heads(cross), blk["wo_c"], blk["bo_c"])
+        x = x + _proj(_tp_gather(_merge_heads(cross), tp_axis),
+                      blk["wo_c"], blk["bo_c"])
         x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         if quantized:
             return x, (k_cache, v_cache, ks_cache, vs_cache)
@@ -827,7 +874,8 @@ def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        cross_kv_int8=opts.cross_kv_int8,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=_use_flat_kv(params, cfg, opts))
-    hidden, cache = _prefill(params, cfg, prompt, pad_len, cache)
+    hidden, cache = _prefill(params, cfg, prompt, pad_len, cache,
+                             tp_axis=opts.tp_axis)
 
     # no_speech prob: at the sot position's logits (predicting the token
     # after sot). sot sits right after the pad at index pad_len + sot_index;
@@ -905,7 +953,8 @@ def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 
         slot = max_prompt + s["step"]
         new_logits, new_cache = _step(
-            params, cfg, write_tok[:, None], slot, pad_len, s["cache"]
+            params, cfg, write_tok[:, None], slot, pad_len, s["cache"],
+            tp_axis=opts.tp_axis,
         )
         return dict(
             tokens=tokens, n=n, finished=finished, sum_logprob=sum_logprob,
@@ -1025,7 +1074,8 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        cross_kv_int8=opts.cross_kv_int8,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=flat_kv)
-    hidden_b, cache = _prefill(params, cfg, prompt, pad_len, cache)
+    hidden_b, cache = _prefill(params, cfg, prompt, pad_len, cache,
+                               tp_axis=opts.tp_axis)
     cache = _tile_cache_rows(cache, k)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
@@ -1090,11 +1140,19 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         is_eot = tok == ti.eot
 
         # --- finished bookkeeping -----------------------------------------
-        # For each audio, append eot-candidates (in order) to the finished
-        # set while slots remain.
-        eot_rank = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) - 1  # rank among eots
+        # openai BeamSearchDecoder.update semantics: candidates are
+        # scanned best-first and the scan STOPS once beam_size non-eot
+        # survivors are collected — an eot candidate reaches the finished
+        # set only if it ranks ABOVE the K-th survivor.  (Harvesting eot
+        # from the whole top-2K floods the finished set with low-score
+        # finishers and ends the search early — the round-3 beam-5
+        # failure on the overfit micro model was exactly this.)
+        non_eot = (~is_eot).astype(jnp.int32)
+        non_eot_before = jnp.cumsum(non_eot, axis=1) - non_eot  # exclusive
+        qualifies = is_eot & (non_eot_before < k)
+        eot_rank = jnp.cumsum(qualifies.astype(jnp.int32), axis=1) - 1
         slot = s["fin_count"][:, None] + eot_rank
-        can_store = is_eot & (slot < k) & (eot_rank >= 0)
+        can_store = qualifies & (slot < k) & (eot_rank >= 0)
         # gather candidate sequences (tokens come from their source beams)
         src_flat = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)
         cand_tokens = s["tokens"][src_flat].reshape(b, 2 * k, opts.sample_len)
@@ -1160,7 +1218,8 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
 
         slot_id = max_prompt + s["step"]
         new_logits, cache3 = _step(
-            params, cfg, new_tok[:, None], slot_id, pad_rep, cache2, anc2
+            params, cfg, new_tok[:, None], slot_id, pad_rep, cache2, anc2,
+            tp_axis=opts.tp_axis,
         )
         out = dict(
             tokens=tokens, n=n, cum_logprob=cum_logprob, last=last,

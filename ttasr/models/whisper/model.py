@@ -438,7 +438,20 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
     """
     dec = params["decoder"]
     b = enc_out.shape[0]
-    h, dh = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
+    dh = cfg.d_model // cfg.decoder_heads
+    # Head count from the projection WIDTHS, not cfg: tensor-parallel
+    # shards (ttasr.parallel.tp) carry only their local heads' columns,
+    # so the caches size to the shard (== cfg.decoder_heads on one chip).
+    blk0 = dec["blocks"]
+
+    def _w_width(w):
+        return (w["q"] if isinstance(w, dict) and "q" in w else w).shape[-1]
+
+    if "wqkv" in blk0:
+        h = (_w_width(blk0["wqkv"]) // 3) // dh
+    else:
+        h = _w_width(blk0["wq"]) // dh
+    h_cross = _w_width(blk0["wk_c"]) // dh
     dtype = enc_out.dtype
     cross_kv_int8 = cross_kv_int8 or cross_kv_int4  # int4 is a sub-mode
 
@@ -461,8 +474,8 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
         # allocations that OOM'd the batch-48 bench) — per layer the
         # bf16 intermediate is ~hundreds of MB and transient.
         def cross_kv_q(_, blk):
-            k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
-            v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h)
+            k = _split_heads(_proj(enc_out, blk["wk_c"]), h_cross)
+            v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h_cross)
             if s_pad:
                 widths = ((0, 0), (0, s_pad), (0, 0), (0, 0))
                 k = jnp.pad(k, widths)
@@ -474,8 +487,8 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
             # layout would both tile-pad the (20, 64) trailing dims in
             # HBM and force a per-step relayout copy at the boundary.
             s_total = kq.shape[1]
-            kq = kq.reshape(b, s_total, h * dh)
-            vq = vq.reshape(b, s_total, h * dh)
+            kq = kq.reshape(b, s_total, h_cross * dh)
+            vq = vq.reshape(b, s_total, h_cross * dh)
             if cross_kv_int4:
                 # nibble-packed (B, S/2, D) uint8 — consumers detect
                 # the packing via dtype (ttasr/ops/int4.py layout)
@@ -489,8 +502,8 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
                                              dec["blocks"])
     else:
         def cross_kv(_, blk):
-            k = _split_heads(_proj(enc_out, blk["wk_c"]), h)
-            v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h)
+            k = _split_heads(_proj(enc_out, blk["wk_c"]), h_cross)
+            v = _split_heads(_proj(enc_out, blk["wv_c"], blk["bv_c"]), h_cross)
             return None, (k, v)
 
         _, (ck, cv) = jax.lax.scan(cross_kv, None, dec["blocks"])

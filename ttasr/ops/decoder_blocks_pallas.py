@@ -71,15 +71,18 @@ def attnout_ln_q_fused(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
 
     Computes ``x' = x + (attn @ Wo) * s_o + b_o`` and
     ``qc = lnc(x') @ Wq_c * s_qc + b_qc`` in one kernel.
-    Returns (x' (R, D) f32, qc (R, D) f32).
+    Returns (x' (R, D) f32, qc (R, DC) f32) — DC = Wq_c's output width,
+    which is D on one chip and D/shards under tensor parallelism
+    (ttasr.parallel.tp: the cross-q projection is column-split).
     """
     r, d = x.shape
+    dc = wqc_q.shape[-1]
     wo_s2 = wo_s.reshape(1, d).astype(jnp.float32)
     bo2 = bo.reshape(1, d).astype(jnp.float32)
     lnc_s2 = lnc_s.reshape(1, d).astype(jnp.float32)
     lnc_b2 = lnc_b.reshape(1, d).astype(jnp.float32)
-    wqc_s2 = wqc_s.reshape(1, d).astype(jnp.float32)
-    bqc2 = bqc.reshape(1, d).astype(jnp.float32)
+    wqc_s2 = wqc_s.reshape(1, dc).astype(jnp.float32)
+    bqc2 = bqc.reshape(1, dc).astype(jnp.float32)
 
     def kernel(x_ref, a_ref, wo_ref, wos_ref, bo_ref, ls_ref, lb_ref,
                wq_ref, wqs_ref, bq_ref, xo_ref, qc_ref):
@@ -97,7 +100,7 @@ def attnout_ln_q_fused(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((r, d), jnp.float32),
-            jax.ShapeDtypeStruct((r, d), jnp.float32),
+            jax.ShapeDtypeStruct((r, dc), jnp.float32),
         ),
         interpret=interpret,
     )(x, attn, wo_q, wo_s2, bo2, lnc_s2, lnc_b2, wqc_q, wqc_s2, bqc2)
@@ -145,8 +148,14 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     s_rows = ck8.shape[1]                 # stored rows (S/2 when packed)
     s = 2 * s_rows if packed else s_rows  # logical source slots
     h = cks.shape[1]
-    dh = d // h
+    # cross width DC = h * 64: equals the residual width D on one chip;
+    # under tensor parallelism the shard carries h/shards heads, so its
+    # cross-q / cross-KV operands are DC = D/shards wide while x/attn/wo
+    # keep the full residual width (ttasr.parallel.tp).
+    dc = wqc_q.shape[-1]
+    dh = dc // h
     assert dh == 64 and h % 2 == 0, "kernel assumes head_dim 64, even heads"
+    assert ck8.shape[-1] == dc and cv8.shape[-1] == dc, (ck8.shape, dc)
     assert k_pad <= K_PAD and s % 8 == 0
     if b % group != 0:
         group = 1
@@ -158,8 +167,8 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
     bo2 = bo.reshape(1, d).astype(jnp.float32)
     lnc_s2 = lnc_s.reshape(1, d).astype(jnp.float32)
     lnc_b2 = lnc_b.reshape(1, d).astype(jnp.float32)
-    wqc_s2 = wqc_s.reshape(1, d).astype(jnp.float32)
-    bqc2 = bqc.reshape(1, d).astype(jnp.float32)
+    wqc_s2 = wqc_s.reshape(1, dc).astype(jnp.float32)
+    bqc2 = bqc.reshape(1, dc).astype(jnp.float32)
 
     def kernel(x_ref, a_ref, wo_ref, wos_ref, bo_ref, ls_ref, lb_ref,
                wq_ref, wqs_ref, bq_ref, k_ref, ks_ref, v_ref, vs_ref,
@@ -240,21 +249,21 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
             pl.BlockSpec((1, d), const2),                       # bo
             pl.BlockSpec((1, d), const2),                       # lnc_s
             pl.BlockSpec((1, d), const2),                       # lnc_b
-            pl.BlockSpec((d, d), const2),                       # wqc_q
-            pl.BlockSpec((1, d), const2),                       # wqc_s
-            pl.BlockSpec((1, d), const2),                       # bqc
-            pl.BlockSpec((g, s_rows, d), lambda i: (i, 0, 0)),  # ck8
+            pl.BlockSpec((d, dc), const2),                      # wqc_q
+            pl.BlockSpec((1, dc), const2),                      # wqc_s
+            pl.BlockSpec((1, dc), const2),                      # bqc
+            pl.BlockSpec((g, s_rows, dc), lambda i: (i, 0, 0)),  # ck8
             pl.BlockSpec((g, h, s), lambda i: (i, 0, 0)),       # cks
-            pl.BlockSpec((g, s_rows, d), lambda i: (i, 0, 0)),  # cv8
+            pl.BlockSpec((g, s_rows, dc), lambda i: (i, 0, 0)),  # cv8
             pl.BlockSpec((g, h, s), lambda i: (i, 0, 0)),       # cvs
         ],
         out_specs=(
             pl.BlockSpec((g, k_pad, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, k_pad, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_pad, dc), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, k_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad, dc), jnp.float32),
         ),
         interpret=interpret,
     )(x, attn, wo_q, wo_s2, bo2, lnc_s2, lnc_b2, wqc_q, wqc_s2, bqc2,
