@@ -469,3 +469,59 @@ def test_pad_vocab_ids_suppressed():
     lens = np.asarray(out["lengths"])
     for row, n in zip(toks, lens):
         assert (row[:n] < ti.pad_vocab_begin).all(), row[:n]
+
+
+def test_cross_attn_quantized_masks_pad_slots():
+    """Short-window decode (VERDICT r3 #6) passes ``s_real`` = the
+    pre-padding encoder length; init_cache pads the source axis to a
+    sublane multiple (8 for int8, 16 for int4).  Junk written into the
+    pad slots must never reach the attention output — in the fused
+    kernel branch (single-token, interpret on CPU) and the XLA fallback
+    (prefill) branch, for int8 and nibble-packed int4 caches."""
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.decode import _cross_attn_quantized
+    from ttasr.models.whisper.model import init_cache, init_params
+    from ttasr.ops.quant import quantize_params
+
+    cfg = WhisperConfig(name="s", vocab_size=64, num_mel_bins=80,
+                        d_model=128, encoder_layers=1, encoder_heads=2,
+                        decoder_layers=1, decoder_heads=2, ffn_dim=128,
+                        max_source_positions=64)
+    params = quantize_params(init_params(cfg, seed=0))
+    rng = np.random.default_rng(3)
+    s_real = 20
+    enc = jnp.asarray(
+        rng.standard_normal((1, s_real, cfg.d_model)).astype(np.float32))
+    for int4 in (False, True):
+        cache = init_cache(params, cfg, enc, max_len=8, kv_int8=True,
+                           cross_kv_int8=True, cross_kv_int4=int4)
+        ck, cv = cache.cross_k[0], cache.cross_v[0]
+        cks, cvs = cache.cks[0], cache.cvs[0]
+        if int4:
+            # sublane-half packing (ttasr/ops/int4.py): byte [r, d] holds
+            # slot r (low nibble) and slot r + S/2 (high nibble); with
+            # S=32, s_real=20 the pad slots 20..31 are the HIGH nibbles
+            # of rows >= 4 — junk only those, keeping the real low slots
+            row0 = s_real - ck.shape[1]        # s_real - S/2
+            assert 0 < row0 < ck.shape[1]
+
+            def junk4(x):
+                return x.at[:, row0:, :].set(
+                    (x[:, row0:, :] & 0xF) | 0xF0)
+            ck_j, cv_j = junk4(ck), junk4(cv)
+        else:
+            assert ck.shape[1] > s_real, "expected padded source slots"
+            ck_j = ck.at[:, s_real:, :].set(127)
+            cv_j = cv.at[:, s_real:, :].set(127)
+        cks_j = cks.at[:, :, s_real:].set(1e4)
+        cvs_j = cvs.at[:, :, s_real:].set(1e4)
+        for t in (1, 4):   # kernel branch (t=1) and XLA fallback (t=4)
+            qc = jnp.asarray(rng.standard_normal(
+                (1, t, 2, 64)).astype(np.float32))
+            base = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs, s_real)
+            got = _cross_attn_quantized(qc, cfg, ck_j, cks_j, cv_j, cvs_j,
+                                        s_real)
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(got),
+                                          err_msg=f"int4={int4} t={t}")

@@ -436,3 +436,54 @@ def test_stop_fails_stranded_requests(engine):
     for r in results:
         assert isinstance(r, Exception) or hasattr(r, "tokens")
     assert any(isinstance(r, Exception) for r in results)
+
+
+def test_short_window_matches_direct_short_decode(engine):
+    """``short_window=True`` (streaming partials, VERDICT r3 #6) buckets
+    the encode to a 5.12 s prefix window (256 encoder positions instead
+    of 1500).  The server result must equal the direct engine decode on
+    the same bucketed batch, for greedy and beam."""
+    import jax
+
+    from ttasr.engine.serving import window_bucket
+    from ttasr.models.whisper.decode import DecodingOptions, pad_prompts
+
+    audio = _audio(7, seconds=2.0)
+    assert window_bucket(len(audio)) == 81920
+    prompt = TOK.sot_sequence("zh", predict_timestamps=True)
+
+    async def run():
+        server = BatchServer(engine, slots=2, beam_size=1, sample_len=8,
+                             linger_ms=5)
+        await server.start()
+        try:
+            greedy = await server.transcribe_window(
+                audio, prompt, short_window=True)
+            beam = await server.transcribe_window(
+                audio, prompt, beam_size=2, short_window=True)
+            return greedy, beam
+        finally:
+            await server.stop()
+
+    res_g, res_b = asyncio.run(run())
+
+    # direct path: replicate _decode_batch's batch layout at the bucket
+    batch = np.zeros((2, 81920), np.float32)
+    batch[0, : len(audio)] = audio
+    enc = engine.encode_windows(batch, window_samples=81920)
+    assert enc.shape[1] == 81920 // 320  # 256 prefix positions
+    filler = TOK.sot_sequence("zh", "transcribe", predict_timestamps=True)
+    prompt_arr, pad = pad_prompts([list(prompt), filler], engine.ti.eot)
+    rng = jax.random.PRNGKey(0)
+    opts_g = DecodingOptions(beam_size=1, sample_len=8)
+    out = engine.run_greedy_decode(enc, prompt_arr, pad, rng,
+                                   np.zeros((2,), np.float32), opts_g)
+    n = int(np.asarray(out["lengths"])[0])
+    assert res_g.tokens == [int(t) for t in np.asarray(out["tokens"])[0, :n]]
+
+    opts_b = DecodingOptions(beam_size=2, sample_len=8)
+    out_b = engine.run_beam_decode(enc, prompt_arr, pad,
+                                   jax.random.PRNGKey(1), opts_b)
+    n = int(np.asarray(out_b["lengths"])[0])
+    assert res_b.tokens == [int(t)
+                            for t in np.asarray(out_b["tokens"])[0, :n]]

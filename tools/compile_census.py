@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PROMPT_BUCKETS = (16, 32, 64, 144, 256)   # decode.pad_prompts
 STREAM_BUDGETS = (48, 96, 224)            # jax_whisper_asr._token_budget
 WINDOW_BUDGET = 224                       # SAMPLE_LEN
+# streaming short-window encode buckets (serving.WINDOW_BUCKETS + full):
+# chunk seconds -> (window samples, token budget) pairs that co-occur —
+# budgets 48/96/224 switch at 5 s/12 s, windows at 5.12 s/15.36 s, so
+# only these (window, budget) combos are reachable
+STREAM_WINDOW_BUDGETS = ((81920, 48), (245760, 96), (245760, 224),
+                         (480000, 224))
 
 
 def census(slots: int = 4, *, beam_size: int = 5, best_of: int = 5,
@@ -57,11 +63,16 @@ def census(slots: int = 4, *, beam_size: int = 5, best_of: int = 5,
         batches.add(1)               # engine.transcribe seek loop
         batches.add(best_of)         # temperature>0 best_of batched decode
 
-    # ---- encoder (mel + encode), one per (batch, dtype) -------------------
+    # ---- encoder (mel + encode), one per (batch, window, dtype) -----------
     for b in sorted(batches):
-        add("encoder", (b, "int16"), "file/task uploads ship int16 PCM")
+        add("encoder", (b, 480000, "int16"),
+            "file/task uploads ship int16 PCM")
         if streaming:
-            add("encoder", (b, "float32"), "streaming scratch is f32")
+            # streaming chunks ship int16 through the BatchServer and
+            # encode bucketed short windows (serving.WINDOW_BUCKETS)
+            for win, _budget in STREAM_WINDOW_BUDGETS:
+                add("encoder", (b, win, "int16"),
+                    "streaming chunk window bucket")
 
     # ---- prompt buckets reachable per path ---------------------------------
     # seek-loop window 1: sot_seq (3-4 tokens) -> 16; +initial_prompt -> 32;
@@ -88,9 +99,14 @@ def census(slots: int = 4, *, beam_size: int = 5, best_of: int = 5,
                     "fallback ladder t>0 (one compile, traced temperature)")
         if streaming:
             for p in stream_prompts:
-                for budget in STREAM_BUDGETS:
-                    add("greedy_decode", (b, p, budget),
-                        "streaming partial (bucketed token budget)")
+                # partials decode at the server's beam_size (default 5)
+                # over the bucketed (window, budget) pairs; only the
+                # combos the chunk-duration thresholds can produce
+                # co-occur (short_window off collapses windows to 480000)
+                for win, budget in STREAM_WINDOW_BUDGETS:
+                    add("beam_decode",
+                        (b, p, win, budget, f"beam{beam_size}"),
+                        "streaming partial (window x token bucket)")
     # lang-detect prefill (engine.detect_language): tiny, width-16
     if sequential_cli:
         add("lang_logits", (1, 16), "language auto-detect")

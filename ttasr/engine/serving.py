@@ -47,6 +47,28 @@ from ttasr.ops.mel import N_SAMPLES, log_mel_spectrogram
 
 logger = logging.getLogger("ttasr.serving")
 
+# Short-window encode buckets for streaming partials (VERDICT r3 #6):
+# a 1.5-3.5 s chunk that encodes the full 30 s window pays 1500
+# encoder positions and 1500-slot cross-attention every decode step.
+# Bucketing to a PREFIX window cuts both ~S/1500.  Bucket lengths are
+# multiples of 320 samples/position and of the merged encoder
+# attention tile (TQ_MERGED=256 positions), aligned to the streaming
+# token-budget boundaries (jax_whisper_asr._token_budget: 5 s / 12 s):
+#   81920 samples =  5.12 s -> S=256   (typical 1.5-3.5 s partials)
+#  245760 samples = 15.36 s -> S=768   (backlogged scratch <= 12 s)
+# Everything longer uses the full 30 s window.  Each bucket is one
+# extra compiled mel+encode and decode program (tools/compile_census).
+WINDOW_BUCKETS = (81920, 245760)
+
+
+def window_bucket(n_samples: int) -> int:
+    """Smallest short-window bucket holding ``n_samples``, else the
+    full 30 s window."""
+    for b in WINDOW_BUCKETS:
+        if n_samples <= b:
+            return b
+    return N_SAMPLES
+
 
 @dataclasses.dataclass
 class WindowRequest:
@@ -58,6 +80,7 @@ class WindowRequest:
     temperature: float = 0.0           # fallback-ladder rung
     return_enc: bool = False           # include encoder row (word align)
     priority: int = 0                  # higher decodes sooner (streaming=1)
+    window_samples: int = N_SAMPLES    # encode window (short-window bucket)
     submitted_at: float = dataclasses.field(default_factory=time.time)
 
     @property
@@ -66,10 +89,12 @@ class WindowRequest:
 
         Audio dtype is part of the key: int16 PCM uploads as-is and
         converts on device (exact /32768 — half the relay bytes), which
-        is a different compiled mel+encode program than float32."""
+        is a different compiled mel+encode program than float32.  The
+        window bucket is part of the key too: each bucket is its own
+        compiled mel+encode and decode shape."""
         is_beam = self.temperature == 0.0 and self.opts.beam_size > 1
         is_i16 = np.asarray(self.audio).dtype == np.int16
-        return (self.opts, is_beam, is_i16)
+        return (self.opts, is_beam, is_i16, self.window_samples)
 
 
 @dataclasses.dataclass
@@ -227,13 +252,18 @@ class BatchServer:
                                 sample_len: Optional[int] = None,
                                 opts: Optional[DecodingOptions] = None,
                                 return_enc: bool = False,
-                                priority: int = 0) -> WindowResult:
+                                priority: int = 0,
+                                short_window: bool = False) -> WindowResult:
         """Decode one window.  Per-request overrides (beam_size /
         without_timestamps / sample_len, or a full ``opts``) batch with
         other requests that share the same resolved options;
         ``temperature`` picks the fallback rung (>0 switches from beam
         to sampling).  ``priority`` > 0 (streaming partials) orders the
-        request's group ahead of bulk groups between decode steps."""
+        request's group ahead of bulk groups between decode steps.
+        ``short_window`` buckets the encode to a prefix of the 30 s
+        window (``window_bucket``) — streaming partials only; the task
+        API's seek-loop windows keep the full-window semantics whisper
+        was trained with."""
         if opts is None:
             overrides = {}
             if beam_size is not None:
@@ -246,10 +276,12 @@ class BatchServer:
                     if overrides else self.opts)
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
+        ws = (window_bucket(len(np.asarray(audio))) if short_window
+              else N_SAMPLES)
         await self._queue.put(WindowRequest(
             audio, list(prompt_ids), fut, loop, opts,
             temperature=float(temperature), return_enc=return_enc,
-            priority=int(priority),
+            priority=int(priority), window_samples=ws,
         ))
         return await fut
 
@@ -326,15 +358,15 @@ class BatchServer:
         import jax
 
         engine = self.engine
-        opts, is_beam, is_i16 = batch[0].group_key
+        opts, is_beam, is_i16, win = batch[0].group_key
         n = len(batch)
         # int16 groups ship PCM as-is; the device converts (exact /32768)
         dt = np.int16 if is_i16 else np.float32
-        audio = np.zeros((self.slots, N_SAMPLES), dt)
+        audio = np.zeros((self.slots, win), dt)
         prompts: List[Sequence[int]] = []
         temps = np.zeros((self.slots,), np.float32)
         for i, req in enumerate(batch):
-            a = np.asarray(req.audio, dt)[:N_SAMPLES]
+            a = np.asarray(req.audio, dt)[:win]
             audio[i, : len(a)] = a
             prompts.append(req.prompt_ids)
             temps[i] = req.temperature
@@ -345,7 +377,7 @@ class BatchServer:
         for _ in range(n, self.slots):
             prompts.append(filler)
 
-        enc_out = engine.encode_windows(audio)
+        enc_out = engine.encode_windows(audio, window_samples=win)
         prompt, pad = pad_prompts(prompts, self.ti.eot)
         rng = jax.random.PRNGKey(self._steps)
         if is_beam:

@@ -190,7 +190,12 @@ class WhisperEngine:
         _act8 = None if encoder_act_int8 else False
 
         def _mel_encode(params, audio):
-            mel = log_mel_spectrogram(audio, n_mels=_cfg.num_mel_bins)
+            # callers pad host-side to the window length (30 s, or a
+            # short streaming bucket — encode_windows), so the device
+            # program takes the audio length as-is: one compiled
+            # mel+encode per window bucket, S = samples/320 positions
+            mel = log_mel_spectrogram(audio, n_mels=_cfg.num_mel_bins,
+                                      pad_to_chunk=False)
             return encode(params, _cfg, mel, act_int8=_act8)
 
         # ONE jitted program per batch size: calling the 32-layer encoder
@@ -206,26 +211,36 @@ class WhisperEngine:
         self._rng_counter = 0
 
 
-    def encode_windows(self, audio: np.ndarray):
-        """(B, <=N_SAMPLES) or (<=N_SAMPLES,) f32 audio -> encoder states.
+    def encode_windows(self, audio: np.ndarray, *,
+                       window_samples: Optional[int] = None):
+        """(B, <=window) or (<=window,) f32 audio -> encoder states.
 
-        Pads host-side to the fixed 30 s window, then runs mel + encoder
-        as one jitted program (eager per-op dispatch through the remote
-        relay measured ~6 s per call; jitted it is ~0.1 s/window).
+        Pads host-side to ``window_samples`` (default the fixed 30 s
+        window), then runs mel + encoder as one jitted program (eager
+        per-op dispatch through the remote relay measured ~6 s per call;
+        jitted it is ~0.1 s/window).
+
+        ``window_samples`` < 30 s encodes a PREFIX of the window
+        (S = samples/320 positions, positional embeddings sliced):
+        streaming partials pay ~S/1500 of the encoder and
+        S-proportional per-step cross-attention.  Each distinct value is
+        its own compiled program — callers bucket it
+        (ttasr.engine.serving.window_bucket).
 
         int16 input is uploaded as-is and converted on device — half the
         host->device bytes (the relay upload dominates the mel+encode
         call, PERF_NOTES.md)."""
+        w = N_SAMPLES if window_samples is None else int(window_samples)
         a = np.asarray(audio)
         if a.dtype != np.int16:
             a = a.astype(np.float32, copy=False)
         squeeze = a.ndim == 1
         if squeeze:
             a = a[None]
-        if a.shape[-1] < N_SAMPLES:
-            a = np.pad(a, ((0, 0), (0, N_SAMPLES - a.shape[-1])))
-        elif a.shape[-1] > N_SAMPLES:
-            a = a[..., :N_SAMPLES]
+        if a.shape[-1] < w:
+            a = np.pad(a, ((0, 0), (0, w - a.shape[-1])))
+        elif a.shape[-1] > w:
+            a = a[..., :w]
         out = self._mel_encode(self.params, a)
         return out[0] if squeeze else out
 

@@ -177,7 +177,7 @@ def _tp_gather(x, tp_axis):
 
 
 def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
-             tp_axis=None):
+             tp_axis=None, s_real=None):
     """Teacher-forced pass over the fixed-size prompt buffer.
 
     tokens: (B, MAX_PROMPT) int32, left-padded; real tokens occupy
@@ -188,7 +188,13 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
     ``tp_axis``: mesh axis name when running per-shard inside shard_map
     (ttasr.parallel.tp) — attention runs on the shard's local heads and
     the merged outputs all-gather before the replicated wo/wo_c/MLP.
+    ``s_real``: valid cross-attention source slots — the pre-padding
+    encoder length.  None = the full 30 s window
+    (cfg.max_source_positions); short streaming windows pass their
+    bucketed prefix length (VERDICT r3 #6).
     """
+    if s_real is None:
+        s_real = cfg.max_source_positions
     dec = params["decoder"]
     b, t = tokens.shape
     pos_ids = jnp.maximum(jnp.arange(t)[None, :] - pad_len[:, None], 0)
@@ -254,8 +260,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
         qc = _split_heads(qc_flat,
                           qc_flat.shape[-1] // (cfg.d_model // cfg.decoder_heads))
         if cross_quantized:
-            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
-                                          cfg.max_source_positions)
+            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs, s_real)
         else:
             cross = _cross_attention(qc, ck, cv)
         x = x + _proj(_tp_gather(_merge_heads(cross), tp_axis),
@@ -289,7 +294,7 @@ def _logits_at(params, hidden):
 
 
 def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
-          anc=None, tp_axis=None):
+          anc=None, tp_axis=None, s_real=None):
     """Single-token decode at global cache slot ``slot`` (scalar int32).
 
     token: (B, 1).  pad_len: (B,) — pad slots stay masked out.
@@ -301,7 +306,11 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
     attention kernels run the shard's LOCAL heads (the KV cache streams
     — the dominant per-step HBM terms — split across chips); merged
     attention/cross outputs all-gather before the replicated wo/MLP.
+    s_real: valid cross-attention source slots (pre-padding encoder
+    length); None = cfg.max_source_positions (the full 30 s window).
     """
+    if s_real is None:
+        s_real = cfg.max_source_positions
     dec = params["decoder"]
     b = token.shape[0]
     max_len = cache.k.shape[2]
@@ -437,7 +446,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                 blk["lnc_s"], blk["lnc_b"],
                 blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
                 ck, cks, cv, cvs,
-                s_real=cfg.max_source_positions,
+                s_real=s_real,
                 group=audios_per_program, interpret=interp,
             )
             xo = xo_g.reshape(bk, cfg.d_model)
@@ -454,7 +463,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                               qc.shape[-1] // dh)
             if cross_quantized:
                 cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
-                                              cfg.max_source_positions)
+                                              s_real)
             else:
                 cross = _cross_attention(qc, ck, cv)
             cross2 = _tp_gather(
@@ -505,8 +514,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
         qc = _split_heads(qc_flat,
                           qc_flat.shape[-1] // (cfg.d_model // cfg.decoder_heads))
         if cross_quantized:
-            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs,
-                                          cfg.max_source_positions)
+            cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs, s_real)
         else:
             cross = _cross_attention(qc, ck, cv)
         x = x + _proj(_tp_gather(_merge_heads(cross), tp_axis),
@@ -875,7 +883,7 @@ def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=_use_flat_kv(params, cfg, opts))
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache,
-                             tp_axis=opts.tp_axis)
+                             tp_axis=opts.tp_axis, s_real=enc_out.shape[1])
 
     # no_speech prob: at the sot position's logits (predicting the token
     # after sot). sot sits right after the pad at index pad_len + sot_index;
@@ -954,7 +962,7 @@ def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         slot = max_prompt + s["step"]
         new_logits, new_cache = _step(
             params, cfg, write_tok[:, None], slot, pad_len, s["cache"],
-            tp_axis=opts.tp_axis,
+            tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
         )
         return dict(
             tokens=tokens, n=n, finished=finished, sum_logprob=sum_logprob,
@@ -1075,7 +1083,7 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=flat_kv)
     hidden_b, cache = _prefill(params, cfg, prompt, pad_len, cache,
-                               tp_axis=opts.tp_axis)
+                               tp_axis=opts.tp_axis, s_real=enc_out.shape[1])
     cache = _tile_cache_rows(cache, k)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
@@ -1219,7 +1227,7 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         slot_id = max_prompt + s["step"]
         new_logits, cache3 = _step(
             params, cfg, new_tok[:, None], slot_id, pad_rep, cache2, anc2,
-            tp_axis=opts.tp_axis,
+            tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
         )
         out = dict(
             tokens=tokens, n=n, cum_logprob=cum_logprob, last=last,

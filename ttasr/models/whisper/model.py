@@ -282,7 +282,11 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
     x = jax.nn.gelu(x, approximate=False)
     # blocks run in the transformer-param dtype (mixed precision keeps the
     # stem convs f32; this cast is a no-op when all params share a dtype)
-    x = x.astype(enc["pos"].dtype) + enc["pos"]
+    # pos slices to the mel length: short streaming windows encode a
+    # PREFIX of the 30 s window (S = mel_frames/2 positions), so a
+    # 1.5-5 s partial pays ~S/1500 of the encoder and its decode pays
+    # S-proportional cross-attention (VERDICT r3 #6)
+    x = x.astype(enc["pos"].dtype) + enc["pos"][: x.shape[1]]
 
     # Merged-layout pair attention kernel (inference only — no VJP;
     # default ON: 319 -> 225 ms per batch-8 encoder pass, PERF_NOTES).

@@ -93,6 +93,15 @@ class JaxWhisperASR(ASRInterface):
             self.default_transcribe_kwargs["temperatures"] = tuple(
                 float(t) for t in temps.split(",")
             )
+        # Short-window encode for partials (default on): a 1.5-3.5 s
+        # chunk encodes a 5.12 s prefix window (256 positions) instead
+        # of the padded 30 s window — ~6x less encoder work and
+        # S-proportional cross-attention per decode step
+        # (ttasr.engine.serving.window_bucket).  TTASR_STREAM_SHORT_WINDOW=0
+        # restores the full-window semantics whisper was trained with.
+        self.short_window = os.environ.get(
+            "TTASR_STREAM_SHORT_WINDOW", "1").lower() not in (
+            "0", "false", "no")
 
     @staticmethod
     def _token_budget(duration_s: float) -> int:
@@ -195,7 +204,8 @@ class JaxWhisperASR(ASRInterface):
         )
         budget = self._token_budget(len(audio) / 16000)
         result = await self.server.transcribe_window(
-            audio, prompt, sample_len=budget, priority=1)
+            audio, prompt, sample_len=budget, priority=1,
+            short_window=self.short_window)
         if len(result.tokens) >= budget:
             # no eot within budget: the partial may be truncated (dense zh
             # + timestamp tokens can approach ~10 tok/s — ADVICE round 2);
@@ -236,19 +246,23 @@ class JaxWhisperASR(ASRInterface):
             tok, language="zh", task="transcribe",
             initial_prompt_tokens=tok.encode(" 繁體中文"),
         )
-        # all three _token_budget buckets (48/96/224): scratch can exceed
+        # all three _token_budget buckets (48/96/224) and all reachable
+        # window buckets (5.12 s / 15.36 s / 30 s): scratch can exceed
         # 12 s when processing falls behind and the silence gate keeps
         # accumulating, and an unwarmed bucket is a 20 s-5 min remote
         # compile landing on a live stream (ADVICE round 2)
-        for seconds in (1.5, 6.0, 13.0):
+        for seconds in (1.5, 6.0, 13.0, 16.0):
             budget = self._token_budget(seconds)
             try:
                 if self.server is not None:
                     # int16 zeros: live chunks ship PCM16, so warm THAT
-                    # compiled mel+encode program, not the float32 one
+                    # compiled mel+encode program, not the float32 one;
+                    # short_window matches live chunks so the bucketed
+                    # (window, budget) programs are the ones compiled
                     audio = np.zeros(int(16000 * seconds), np.int16)
                     await self.server.transcribe_window(
-                        audio, prompt, sample_len=budget)
+                        audio, prompt, sample_len=budget,
+                        short_window=self.short_window)
                 else:
                     audio = np.zeros(int(16000 * seconds), np.float32)
                     loop = asyncio.get_running_loop()
