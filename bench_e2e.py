@@ -29,6 +29,12 @@ Two numbers:
   ``transcribe()`` — the latency an interactive user sees (this is the
   apples-to-apples shape of the reference's "5-min audio ≈ 30 s").
 
+Plus ``single_file_batched_rtf``: the same one file through
+``BatchedInferencePipeline`` (ttasr/engine/batched.py) — VAD speech
+chunks decode concurrently through the server, so a lone file saturates
+the decode slots instead of seeking one window at a time (no prompt
+carry; faster-whisper's batched-pipeline semantics).
+
 Honesty notes (zero egress — no real weights can be downloaded):
 
 - Weights are random-init large-v3.  Random logits fail the
@@ -181,6 +187,9 @@ def main() -> None:
                         help="CPU smoke mode (tiny model, short audio)")
     parser.add_argument("--out", default="BENCH_E2E.json")
     args = parser.parse_args()
+    if args.cpu and args.out == "BENCH_E2E.json":
+        # CPU smoke must not clobber the real-TPU artifact
+        args.out = "/tmp/BENCH_E2E_cpu.json"
 
     if args.cpu:
         import jax
@@ -327,6 +336,31 @@ def main() -> None:
         detail["single_file_rtf"] = round(wall_single / (minutes * 60.0), 5)
         detail["single_file_encode_s"] = round(
             timers.acc.get("encode", 0.0), 3)
+
+        # -- batched single-file latency (BatchedInferencePipeline):
+        # VAD speech chunks decode CONCURRENTLY through the server, so
+        # one file saturates the decode slots instead of seeking one
+        # 30 s window at a time (no prompt carry — chunk independence
+        # is what buys the parallelism; ttasr/engine/batched.py)
+        from ttasr.engine.batched import BatchedInferencePipeline
+
+        out_dir_b = os.path.join(work, "out_batched")
+        os.makedirs(out_dir_b, exist_ok=True)
+        pipe = BatchedInferencePipeline(engine, batch_size=args.slots)
+        pipe.transcribe(warm, **kwargs)  # warm the batched path
+        timers.acc.clear()
+        timers.counts.clear()
+        t0 = time.perf_counter()
+        segments_b, _info_b = pipe.transcribe(audio, **kwargs)
+        write_outputs(out_dir_b, paths[0], segments_b)
+        wall_batched = time.perf_counter() - t0
+        detail["single_file_batched_wall_s"] = round(wall_batched, 3)
+        detail["single_file_batched_rtf"] = round(
+            wall_batched / (minutes * 60.0), 5)
+        detail["single_file_batched_chunks"] = len(
+            {s.seek for s in segments_b})
+        detail["single_file_batched_device_step_s"] = round(
+            timers.acc.get("device_step", 0.0), 3)
 
     # -- price of one fallback rung (measured, so assumed nonzero
     # fallback rates can be modeled): decode the first file's first

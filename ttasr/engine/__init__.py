@@ -1,5 +1,6 @@
 """Inference engine: batch transcriber, result types, serving core."""
 
+from ttasr.engine.batched import BatchedInferencePipeline
 from ttasr.engine.results import Segment, TranscriptionInfo, Word, segments_to_srt, segments_to_txt
 from ttasr.engine.transcriber import WhisperEngine, TranscribeOptions
 
@@ -7,4 +8,5 @@ __all__ = [
     "Segment", "TranscriptionInfo", "Word",
     "segments_to_srt", "segments_to_txt",
     "WhisperEngine", "TranscribeOptions",
+    "BatchedInferencePipeline",
 ]
