@@ -231,3 +231,28 @@ def test_batched_no_speech_returns_empty(engine):
                                  **GATES_OFF)
     assert segs == []
     assert info.duration_after_vad == 0.0
+
+
+def test_cli_batched_flag(engine, tmp_path):
+    """`ttasr.cli.asr --batched` routes single files through the
+    BatchedInferencePipeline and still writes the {name}_asr.txt
+    output surface."""
+    import wave
+
+    from ttasr.cli.asr import process_audio_folder
+
+    audio = _two_burst_audio()
+    folder = tmp_path / "clips"
+    folder.mkdir()
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(folder / "a.wav"), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(SAMPLE_RATE)
+        wf.writeframes(pcm.tobytes())
+
+    res = process_audio_folder(str(folder), engine=engine, batched=True,
+                               results_json_dir=str(tmp_path))
+    assert res is not None
+    out = folder / "a_asr.txt"
+    assert out.exists()

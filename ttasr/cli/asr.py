@@ -73,7 +73,8 @@ def process_audio_folder(folder_path: str,
                          model: str = "models",
                          engine=None,
                          results_json_dir: Optional[str] = None,
-                         concurrency: int = 1) -> Optional[dict]:
+                         concurrency: int = 1,
+                         batched: bool = False) -> Optional[dict]:
     """Transcribe every audio file in ``folder_path``.
 
     ``engine`` may be injected (tests use a fake, the pattern of the
@@ -124,15 +125,27 @@ def process_audio_folder(folder_path: str,
             else:
                 if isinstance(pre, Exception):
                     raise pre
-                segments, info = engine.transcribe(
-                    audio_file,
-                    language="zh",
-                    word_timestamps=False,
-                    vad_filter=True,
-                    beam_size=5,
-                    condition_on_previous_text=True,
-                    initial_prompt="",
-                )
+                if batched and hasattr(engine, "_decode_with_fallback_server"):
+                    # VAD chunks of THIS file decode concurrently
+                    # (BatchedInferencePipeline; no prompt carry)
+                    from ttasr.engine.batched import BatchedInferencePipeline
+
+                    segments, info = BatchedInferencePipeline(
+                        engine, batch_size=max(concurrency, 4)
+                    ).transcribe(
+                        audio_file, language="zh", word_timestamps=False,
+                        beam_size=5, initial_prompt="",
+                    )
+                else:
+                    segments, info = engine.transcribe(
+                        audio_file,
+                        language="zh",
+                        word_timestamps=False,
+                        vad_filter=True,
+                        beam_size=5,
+                        condition_on_previous_text=True,
+                        initial_prompt="",
+                    )
             text = "".join(seg.text for seg in segments)
             processed_text = postprocess_transcript(text)
 
@@ -217,12 +230,16 @@ def main(argv=None) -> None:
     parser.add_argument("--model", default="models", help="模型路徑或預設名稱")
     parser.add_argument("--concurrency", type=int, default=1,
                         help="同時處理的檔案數（視窗連續批次化）")
+    parser.add_argument("--batched", action="store_true",
+                        help="單檔內以 VAD 語音區塊並行解碼"
+                             "（BatchedInferencePipeline，不做前文接續）")
     args = parser.parse_args(argv)
     if not os.path.exists(args.folder):
         print(f"資料夾不存在: {args.folder}")
         return
     process_audio_folder(args.folder, args.output, model=args.model,
-                         concurrency=args.concurrency)
+                         concurrency=args.concurrency,
+                         batched=args.batched)
 
 
 if __name__ == "__main__":
