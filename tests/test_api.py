@@ -553,3 +553,87 @@ def test_concurrent_tasks_batch_through_shared_server(api_env, monkeypatch):
     assert stats["served"] >= 4
     # batching actually happened: fewer decode steps than windows served
     assert stats["steps"] < stats["served"], stats
+
+
+def test_task_batched_mode(api_env, monkeypatch):
+    """TTASR_TASK_BATCHED=1 routes uploads through the
+    BatchedInferencePipeline path (VAD chunks of ONE upload decode
+    concurrently through the shared server) and still produces the task
+    API's TXT output surface."""
+    import os
+    import sys
+
+    import ttasr.api.file_tasks as ft
+    from ttasr.models.whisper.config import get_config
+    from ttasr.models.whisper.model import init_params
+    from ttasr.engine.transcriber import WhisperEngine
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from train_vad import synth_speech
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = get_config("micro-test")
+    engine = WhisperEngine("micro-test", params=init_params(cfg, seed=0),
+                           config=cfg, tokenizer=tok)
+
+    def _load_real():
+        ft.whisper_engine = engine
+        return True
+
+    monkeypatch.setattr(ft, "load_model", _load_real)
+    monkeypatch.setattr(ft, "whisper_engine", engine)
+    monkeypatch.setattr(ft, "TRANSCRIBE_KWARGS",
+                        dict(ft.TRANSCRIBE_KWARGS, max_new_tokens=8,
+                             temperatures=(0.0,),
+                             log_prob_threshold=None,
+                             compression_ratio_threshold=None,
+                             no_speech_threshold=None))
+    monkeypatch.setenv("TTASR_TASK_BATCH_SLOTS", "2")
+    monkeypatch.setenv("TTASR_TASK_BATCHED", "1")
+
+    audio, _labels = synth_speech(np.random.default_rng(321), 2.0)
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.tobytes())
+    clip = buf.getvalue()
+
+    async def run():
+        import aiohttp
+
+        client = await _client()
+        try:
+            token = await _login(client)
+            headers = {"Authorization": f"Bearer {token}"}
+            form = aiohttp.FormData()
+            form.add_field("audio", clip, filename="b.wav",
+                           content_type="audio/wav")
+            r = await client.post("/api/v1/subtitle/tasks", data=form,
+                                  headers=headers)
+            assert r.status == 200, await r.text()
+            task_id = (await r.json())["id"]
+            for _ in range(2400):
+                r = await client.post(
+                    f"/api/v1/subtitle/tasks/{task_id}", headers=headers)
+                status = (await r.json())["data"][0]["status"]
+                if status == 22:
+                    break
+                assert status != 4, "task failed"
+                await asyncio.sleep(0.1)
+            else:
+                pytest.fail("task never completed")
+            r = await client.get(
+                f"/api/v1/subtitle/tasks/{task_id}/subtitle?type=TXT",
+                headers=headers)
+            assert r.status == 200
+            return await r.text()
+        finally:
+            await client.close()
+
+    text = _run(run())
+    assert text.strip()

@@ -179,8 +179,16 @@ async def _transcribe_task(file_path: str):
     # int16-keyed (warmed) mel+encode program.
     audio, _sr = await loop.run_in_executor(
         None, lambda: load_audio(file_path, int16=True))
-    segments, info = await whisper_engine.transcribe_with_server(
-        audio, server, **TRANSCRIBE_KWARGS)
+    if os.getenv("TTASR_TASK_BATCHED", "").lower() in ("1", "true", "yes"):
+        # VAD chunks of THIS upload decode concurrently (lowest single-
+        # task latency; no prompt carry — ttasr/engine/batched.py)
+        from ttasr.engine.batched import transcribe_batched_with_server
+
+        segments, info = await transcribe_batched_with_server(
+            whisper_engine, server, audio, **TRANSCRIBE_KWARGS)
+    else:
+        segments, info = await whisper_engine.transcribe_with_server(
+            audio, server, **TRANSCRIBE_KWARGS)
     segments = list(segments)
     full_text = "".join(seg.text for seg in segments)
     return segments, postprocess_transcript(full_text)
