@@ -177,6 +177,11 @@ def main() -> None:
     parser.add_argument("--minutes", type=float, default=5.0,
                         help="duration of each file (reference: 5-min)")
     parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--batched-slots", type=int, default=48,
+                        help="decode slots for the concurrent+batched "
+                             "measurement (bench.py's batch sweep puts "
+                             "the chip's sweet spot at 48)")
+    parser.add_argument("--skip-batched-concurrent", action="store_true")
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--gates", action="store_true",
                         help="keep the quality-gate fallback ladder armed "
@@ -361,6 +366,59 @@ def main() -> None:
             {s.seek for s in segments_b})
         detail["single_file_batched_device_step_s"] = round(
             timers.acc.get("device_step", 0.0), 3)
+
+    # -- concurrent + batched: the SAME N files, each VAD-chunked
+    # (BatchedInferencePipeline semantics — no prompt carry), all
+    # chunks through ONE shared server sized at the chip's batch sweet
+    # spot (bench.py's sweep: 48).  The plain concurrent path above
+    # holds at most one window per file in flight (prompt carry
+    # serializes each file's seek loop), so 8 files fill only 8 of 48
+    # profitable slots; chunk independence lets a few files saturate
+    # the chip.  This is the max-throughput serving shape.
+    if not args.skip_batched_concurrent:
+        from ttasr.engine.batched import transcribe_batched_with_server
+        from ttasr.engine.serving import BatchServer
+
+        bslots = min(args.batched_slots, 4) if args.cpu \
+            else args.batched_slots
+        out_dir_cb = os.path.join(work, "out_concurrent_batched")
+        os.makedirs(out_dir_cb, exist_ok=True)
+
+        async def run_concurrent_batched(file_paths):
+            server = BatchServer(engine, slots=bslots, beam_size=5)
+            await server.start()
+            try:
+                return await asyncio.gather(*[
+                    transcribe_batched_with_server(
+                        engine, server, p, **kwargs)
+                    for p in file_paths
+                ])
+            finally:
+                await server.stop()
+
+        # warm the bslots-wide decode program (cached for re-runs)
+        t0 = time.perf_counter()
+        asyncio.run(run_concurrent_batched([warm]))
+        detail["concurrent_batched_compile_s"] = round(
+            time.perf_counter() - t0, 1)
+        timers.acc.clear()
+        timers.counts.clear()
+        t0 = time.perf_counter()
+        results_cb = asyncio.run(run_concurrent_batched(paths))
+        for p, (segments_cb, _info_cb) in zip(paths, results_cb):
+            write_outputs(out_dir_cb, p, segments_cb)
+        wall_cb = time.perf_counter() - t0
+        detail.update({
+            "concurrent_batched_wall_s": round(wall_cb, 3),
+            "concurrent_batched_rtf": round(wall_cb / total_audio_s, 5),
+            "concurrent_batched_slots": bslots,
+            "concurrent_batched_chunks": sum(
+                len({s.seek for s in segs}) for segs, _ in results_cb),
+            "concurrent_batched_device_step_s": round(
+                timers.acc.get("device_step", 0.0), 3),
+            "concurrent_batched_device_steps": timers.counts.get(
+                "device_step", 0),
+        })
 
     # -- price of one fallback rung (measured, so assumed nonzero
     # fallback rates can be modeled): decode the first file's first
