@@ -113,8 +113,12 @@ async def transcribe_batched_with_server(
     audio = _as_master(audio)
     duration = len(audio) / SAMPLE_RATE
 
-    speech_ts = get_speech_timestamps(
-        _host_f32(audio), opts.vad_parameters or VadOptions())
+    # host VAD off the event loop (same reason as transcribe_with_server:
+    # concurrent files' VADs must not serialize in front of the server's
+    # submit path while the chip idles)
+    speech_ts = await asyncio.get_running_loop().run_in_executor(
+        None, get_speech_timestamps, _host_f32(audio),
+        opts.vad_parameters or VadOptions())
     duration_after_vad = sum(
         c["end"] - c["start"] for c in speech_ts) / SAMPLE_RATE
     info = TranscriptionInfo(

@@ -18,6 +18,7 @@ and VAD chunk collection + timestamp restoration.
 
 from __future__ import annotations
 
+import asyncio
 import dataclasses
 import logging
 import time
@@ -539,9 +540,13 @@ class WhisperEngine:
         speech_chunks = None
         duration_after_vad = duration
         if opts.vad_filter:
-            speech_chunks = get_speech_timestamps(
-                _host_f32(audio), opts.vad_parameters or VadOptions()
-            )
+            # host VAD off the event loop: N concurrent files' VADs would
+            # otherwise serialize in front of every coroutine (incl. the
+            # server's submit path) while the chip idles
+            vad_opts = opts.vad_parameters or VadOptions()
+            host = _host_f32(audio)
+            speech_chunks = await asyncio.get_running_loop().run_in_executor(
+                None, get_speech_timestamps, host, vad_opts)
             audio = collect_chunks(audio, speech_chunks)
             duration_after_vad = len(audio) / SAMPLE_RATE
 
