@@ -113,12 +113,14 @@ async def transcribe_batched_with_server(
     audio = _as_master(audio)
     duration = len(audio) / SAMPLE_RATE
 
-    # host VAD off the event loop (same reason as transcribe_with_server:
-    # concurrent files' VADs must not serialize in front of the server's
-    # submit path while the chip idles)
-    speech_ts = await asyncio.get_running_loop().run_in_executor(
-        None, get_speech_timestamps, _host_f32(audio),
-        opts.vad_parameters or VadOptions())
+    # host VAD in the dedicated serial executor (run_vad_async): off the
+    # event loop so it never blocks the server's submit path, serial so
+    # the one-core host finishes VADs FIFO, and counted so the server
+    # defers partial bulk sweeps while sibling files' VADs still run
+    from ttasr.engine.transcriber import run_vad_async
+
+    speech_ts = await run_vad_async(_host_f32(audio),
+                                    opts.vad_parameters or VadOptions())
     duration_after_vad = sum(
         c["end"] - c["start"] for c in speech_ts) / SAMPLE_RATE
     info = TranscriptionInfo(
@@ -143,17 +145,7 @@ async def transcribe_batched_with_server(
         initial_prompt_tokens=initial_prompt_tokens,
     )
 
-    results = await asyncio.gather(*[
-        engine._decode_with_fallback_server(
-            server, audio[c["start"]: c["end"]], prompt_ids, opts,
-            return_enc=opts.word_timestamps,
-        )
-        for c in chunks
-    ])
-
-    segments: List[Segment] = []
-    seg_id = 0
-    for chunk, (result, ratio, temperature) in zip(chunks, results):
+    def parse_chunk(chunk, result, ratio, temperature) -> List[Segment]:
         time_offset = chunk["start"] / SAMPLE_RATE
         chunk_frames = min(N_FRAMES,
                            max((chunk["end"] - chunk["start"])
@@ -167,7 +159,7 @@ async def transcribe_batched_with_server(
                 and no_speech_prob > opts.no_speech_threshold):
             if not (opts.log_prob_threshold is not None
                     and avg_logprob > opts.log_prob_threshold):
-                continue
+                return []
 
         new_segments, _ = engine._parse_window_tokens(
             result.tokens, time_offset, chunk_duration, chunk_frames)
@@ -177,6 +169,7 @@ async def transcribe_batched_with_server(
                 [t for s in new_segments for t in s[0]], result.enc,
                 time_offset,
             )
+        out: List[Segment] = []
         for s_tokens, s_start, s_end in new_segments:
             text = tok.decode(s_tokens)
             if not text.strip():
@@ -187,14 +180,30 @@ async def transcribe_batched_with_server(
                     w for w in window_words
                     if s_start - 0.01 <= (w.start + w.end) / 2 <= s_end + 0.5
                 ]
-            segments.append(Segment(
-                id=seg_id, seek=chunk["start"] // HOP_LENGTH,
+            out.append(Segment(
+                id=-1, seek=chunk["start"] // HOP_LENGTH,
                 start=s_start, end=min(s_end, duration), text=text,
                 tokens=s_tokens, avg_logprob=avg_logprob,
                 compression_ratio=ratio, no_speech_prob=no_speech_prob,
                 temperature=temperature, words=seg_words,
             ))
-            seg_id += 1
+        return out
+
+    async def one(chunk) -> List[Segment]:
+        result, ratio, temperature = await engine._decode_with_fallback_server(
+            server, audio[chunk["start"]: chunk["end"]], prompt_ids, opts,
+            return_enc=opts.word_timestamps,
+        )
+        # parse as each chunk's decode resolves: the host-side token ->
+        # segment work (tokenizer decode, timestamp parsing, word align)
+        # of sweep N overlaps sweep N+1's device decode instead of
+        # serializing after the last sweep
+        return parse_chunk(chunk, result, ratio, temperature)
+
+    per_chunk = await asyncio.gather(*[one(c) for c in chunks])
+    segments: List[Segment] = [s for segs in per_chunk for s in segs]
+    for i, s in enumerate(segments):
+        s.id = i
     return segments, info
 
 

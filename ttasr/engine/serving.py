@@ -17,6 +17,11 @@ program with fixed-shape slots:
   latency-priority requests (streaming partials, ``priority=1``) order
   ahead of bulk task-API groups, with starvation aging so bulk work
   still progresses under a steady partial stream,
+- bulk sweeps pipeline at depth 2 (``TTASR_PIPELINE_GROUPS``): the next
+  group's host packing + PCM upload + program dispatch overlap the
+  in-flight group's device compute (jax dispatch is async); pre-dispatch
+  suspends while a priority stream is active so partial latency keeps
+  its one-group head-of-line bound,
 - the jitted mel+encode+decode pipeline runs in a worker thread (the
   event loop never blocks), and each request's future resolves with its
   row of the batch.
@@ -31,6 +36,7 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import logging
+import os
 import threading
 import time
 from typing import Any, List, Optional, Sequence, Tuple
@@ -173,10 +179,27 @@ class BatchServer:
     def __init__(self, engine, *, slots: int = 4, beam_size: int = 5,
                  sample_len: int = 224, linger_ms: float = 5.0,
                  without_timestamps: bool = False,
-                 starvation_ms: float = 2000.0):
+                 starvation_ms: float = 2000.0,
+                 pipeline_groups: Optional[int] = None):
         self.engine = engine
         self.slots = slots
         self.linger_s = linger_ms / 1000.0
+        # Pipelined dispatch depth: with 2 (default), the NEXT group's
+        # host work (slot packing, PCM upload over the relay, program
+        # dispatch) runs while the current group still computes on the
+        # device — jax dispatch is async, so the executor thread for
+        # group N+1 blocks only at the result fetch, behind group N's
+        # program in the device queue.  Bulk pre-dispatch is suspended
+        # while a stream is active (_pipeline_ok) so a partial never
+        # finds an extra bulk group queued on the device ahead of it.
+        if pipeline_groups is None:
+            pipeline_groups = int(
+                os.environ.get("TTASR_PIPELINE_GROUPS", "2") or 2)
+        self.pipeline_groups = max(1, int(pipeline_groups))
+        self._last_priority_ts = 0.0
+        self._priority_quiet_s = 5.0
+        self._rng_lock = threading.Lock()
+        self._rng_seq = 0
         # a group whose oldest request waited this long decodes next
         # regardless of priority (bulk work cannot starve under a
         # steady stream of priority partials)
@@ -278,6 +301,9 @@ class BatchServer:
         fut: asyncio.Future = loop.create_future()
         ws = (window_bucket(len(np.asarray(audio))) if short_window
               else N_SAMPLES)
+        if priority > 0:
+            # streaming activity: suspends bulk pre-dispatch (_pipeline_ok)
+            self._last_priority_ts = time.time()
         await self._queue.put(WindowRequest(
             audio, list(prompt_ids), fut, loop, opts,
             temperature=float(temperature), return_enc=return_enc,
@@ -287,10 +313,56 @@ class BatchServer:
 
     # -- batching loop ---------------------------------------------------------
 
+    def _pipeline_ok(self, pending) -> bool:
+        """Whether a second group may dispatch behind the in-flight one.
+
+        A pending priority group is always allowed (dispatching it right
+        behind the running decode is strictly sooner than waiting for
+        the fetch).  BULK groups pre-dispatch only when no stream has
+        been active recently: a partial arriving mid-decode must not
+        find an extra bulk group already queued on the device ahead of
+        it (the one-group head-of-line bound is what the 10-stream soak
+        p50 was measured under)."""
+        if self.pipeline_groups < 2:
+            return False
+        if any(r.priority > 0 for r in pending):
+            return True
+        return (time.time() - self._last_priority_ts) > self._priority_quiet_s
+
+    async def _finish(self, group: List[WindowRequest], fut) -> None:
+        """Await an in-flight decode and resolve its requests' futures."""
+        try:
+            results = await fut
+            for req, res in zip(group, results):
+                if not req.future.done():
+                    req.future.set_result(res)
+        except Exception as exc:
+            logger.exception("batch decode failed")
+            for req in group:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+        gone = {id(r) for r in group}
+        self._inflight = [r for r in self._inflight if id(r) not in gone]
+        self._steps += 1
+        self._served += len(group)
+
     async def _run(self) -> None:
+        # lazy: transcriber imports serving lazily in methods; importing
+        # at module top would be a cycle
+        from ttasr.engine.transcriber import vad_pending
+
         pending = self._pool
+        loop = asyncio.get_running_loop()
+        prev_group: Optional[List[WindowRequest]] = None
+        prev_fut = None                   # in-flight executor future
         while not self._stop:
-            if not pending:
+            if not pending and self._queue.empty():
+                if prev_fut is not None:
+                    # nothing further to dispatch: drain the in-flight
+                    # group (arrivals during it absorb next iteration)
+                    await self._finish(prev_group, prev_fut)
+                    prev_group = prev_fut = None
+                    continue
                 pending.append(await self._queue.get())
                 deadline = time.time() + self.linger_s
                 while len(pending) < self.slots:
@@ -310,6 +382,32 @@ class BatchServer:
                     pending.append(self._queue.get_nowait())
                 except asyncio.QueueEmpty:
                     break
+            # coalesce bulk arrivals while host VADs are still running:
+            # pending VADs mean more windows are at most seconds away,
+            # and a partial bulk sweep costs the same full fixed-shape
+            # program as a full one (files staggered by per-file VAD
+            # would otherwise fragment one sweep into several).  Bounded
+            # by starvation_ms; priority partials are never held.
+            while (not self._stop and pending
+                   and len(pending) < self.slots
+                   and prev_fut is None
+                   and vad_pending() > 0
+                   and not any(r.priority > 0 for r in pending)
+                   and (time.time() - min(r.submitted_at for r in pending)
+                        < self.starvation_s)):
+                try:
+                    pending.append(await asyncio.wait_for(
+                        self._queue.get(), timeout=0.02))
+                except asyncio.TimeoutError:
+                    pass
+            if prev_fut is not None and not self._pipeline_ok(pending):
+                # finish the running group FIRST, then re-rank with
+                # whatever arrived during it (old one-group semantics)
+                await self._finish(prev_group, prev_fut)
+                prev_group = prev_fut = None
+                continue
+            if not pending:
+                continue
             # group compatible requests; decode ONE group per sweep so
             # new arrivals re-rank between steps (a slow beam group no
             # longer head-of-line-blocks streaming partials behind it)
@@ -333,24 +431,28 @@ class BatchServer:
                 if now - r.submitted_at >= self.starvation_s
                 else (1, -r.priority, r.submitted_at)))
             group = group[: self.slots]
+            if (prev_fut is not None and len(group) < self.slots
+                    and not any(r.priority > 0 for r in group)):
+                # partial BULK group while a decode is in flight: wait
+                # for the decode instead of dispatching now — arrivals
+                # during it coalesce into a fuller group (eager dispatch
+                # measured fragmenting one full sweep into several
+                # partial sweeps, each paying the full fixed-shape
+                # program: 80 chunks ran 3 batch-48 programs instead
+                # of 2).  Priority partials still dispatch immediately.
+                await self._finish(prev_group, prev_fut)
+                prev_group = prev_fut = None
+                continue
             taken = {id(r) for r in group}
             pending[:] = [r for r in pending if id(r) not in taken]
-            self._inflight = group
-            try:
-                results = await asyncio.get_running_loop().run_in_executor(
-                    None, self._decode_batch, group
-                )
-                for req, res in zip(group, results):
-                    if not req.future.done():
-                        req.future.set_result(res)
-            except Exception as exc:
-                logger.exception("batch decode failed")
-                for req in group:
-                    if not req.future.done():
-                        req.future.set_exception(exc)
-            self._inflight = []
-            self._steps += 1
-            self._served += len(group)
+            self._inflight = self._inflight + group
+            # dispatch NOW (host pack + upload + program dispatch run in
+            # the executor while the previous group computes), fetch the
+            # previous group's results after
+            fut = loop.run_in_executor(None, self._decode_batch, group)
+            if prev_fut is not None:
+                await self._finish(prev_group, prev_fut)
+            prev_group, prev_fut = group, fut
 
     # -- device work (runs in executor thread) -------------------------------
 
@@ -379,7 +481,12 @@ class BatchServer:
 
         enc_out = engine.encode_windows(audio, window_samples=win)
         prompt, pad = pad_prompts(prompts, self.ti.eot)
-        rng = jax.random.PRNGKey(self._steps)
+        # unique per dispatch, thread-safe: two pipelined groups may be
+        # packing concurrently and must not share a sampling key
+        with self._rng_lock:
+            seed = self._rng_seq
+            self._rng_seq += 1
+        rng = jax.random.PRNGKey(seed)
         if is_beam:
             out = engine.run_beam_decode(enc_out, prompt, pad, rng,
                                          opts=opts)

@@ -56,6 +56,54 @@ logger = logging.getLogger("ttasr.engine")
 FRAMES_PER_SECOND = SAMPLE_RATE // HOP_LENGTH  # 100
 TIME_PRECISION = 0.02
 
+# Host VAD runs off the event loop in a DEDICATED single-worker
+# executor: off the loop so N concurrent files' VADs never block the
+# server's submit path, single-worker so they run serially on the
+# one-core host — FIFO completion lets the first file's chunks reach
+# the decode slots immediately instead of every VAD finishing late
+# together (the default pool interleaves up to 5 on one core).
+#
+# The pool also keeps a PENDING count: while VADs are queued/running,
+# more decode windows are at most seconds away, so the BatchServer
+# defers dispatching a partially-filled bulk sweep (a partial sweep
+# costs the same full fixed-shape program as a full one) and the
+# staggered files coalesce into full batches.
+_VAD_POOL = None
+_VAD_PENDING = 0
+_VAD_LOCK = None
+
+
+def _vad_pool():
+    global _VAD_POOL, _VAD_LOCK
+    if _VAD_POOL is None:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        _VAD_LOCK = threading.Lock()
+        _VAD_POOL = ThreadPoolExecutor(max_workers=1,
+                                       thread_name_prefix="ttasr-vad")
+    return _VAD_POOL
+
+
+def vad_pending() -> int:
+    """Host VADs queued or running (see BatchServer's coalescing wait)."""
+    return _VAD_PENDING
+
+
+async def run_vad_async(audio_f32: np.ndarray, vad_opts) -> List[dict]:
+    """``get_speech_timestamps`` in the serial VAD executor, with the
+    pending count maintained for the server's bulk-coalescing wait."""
+    global _VAD_PENDING
+    pool = _vad_pool()
+    with _VAD_LOCK:
+        _VAD_PENDING += 1
+    try:
+        return await asyncio.get_running_loop().run_in_executor(
+            pool, get_speech_timestamps, audio_f32, vad_opts)
+    finally:
+        with _VAD_LOCK:
+            _VAD_PENDING -= 1
+
 
 @dataclasses.dataclass
 class TranscribeOptions:
@@ -540,13 +588,11 @@ class WhisperEngine:
         speech_chunks = None
         duration_after_vad = duration
         if opts.vad_filter:
-            # host VAD off the event loop: N concurrent files' VADs would
-            # otherwise serialize in front of every coroutine (incl. the
-            # server's submit path) while the chip idles
+            # host VAD in the dedicated serial executor (run_vad_async):
+            # off the event loop so it never blocks the server's submit
+            # path, serial so the one-core host finishes VADs FIFO
             vad_opts = opts.vad_parameters or VadOptions()
-            host = _host_f32(audio)
-            speech_chunks = await asyncio.get_running_loop().run_in_executor(
-                None, get_speech_timestamps, host, vad_opts)
+            speech_chunks = await run_vad_async(_host_f32(audio), vad_opts)
             audio = collect_chunks(audio, speech_chunks)
             duration_after_vad = len(audio) / SAMPLE_RATE
 
