@@ -109,11 +109,12 @@ def main():
 
     step_jit = jax.jit(step_loop)
 
-    def make_cache(prms, cross_int8):
+    def make_cache(prms, cross_mode):
         # int8 values + positive scales generated DIRECTLY: routing a
         # (L, BK, clen, H, Dh) f32 tensor through quantize_kv OOM'd the
         # 16 GB chip at batch 16 (1.9 GB f32 temporary on top of both
-        # param sets)
+        # param sets).  cross_mode: "bf16" | "int8" | "int4" (the
+        # production default is int4).
         flat = "wqkv" in prms["decoder"]["blocks"] and dh == 64
         # init_cache must run under jit here: eagerly, the cross-KV
         # projection + quantization materializes ~4 GB of per-op f32
@@ -122,10 +123,14 @@ def main():
 
         jit_init = jax.jit(_partial(
             init_cache, cfg=cfg, max_len=clen, beam_expand=k,
-            kv_int8=True, cross_kv_int8=cross_int8, flat_kv=flat))
+            kv_int8=True, cross_kv_int8=cross_mode == "int8",
+            cross_kv_int4=cross_mode == "int4", flat_kv=flat))
         cache = jit_init(prms, enc_out=enc_out)
+        # .astype on the HOST before jnp.asarray: rng.integers returns
+        # int64 and an (L, BK, clen, H, Dh) int64 upload is 8x the int8
+        # payload — at batch 48 that alone exhausted the 16 GB chip
         q8 = jnp.asarray(
-            rng.integers(-127, 127, (L, bk, clen, h, dh)), jnp.int8)
+            rng.integers(-127, 127, (L, bk, clen, h, dh)).astype(np.int8))
         sc = jnp.asarray(
             np.abs(rng.standard_normal((L, bk, clen, h))).astype(np.float32)
             + 0.01)
@@ -143,42 +148,56 @@ def main():
             cross_k=cache.cross_k, cross_v=cache.cross_v,
             ks=sc, vs=sc, cks=cache.cks, cvs=cache.cvs)
 
-    results["full_step_int8w"] = per_iter(timeit(
-        step_jit, params_q, make_cache(params_q, False),
-        repeats=args.repeats))
+    if b <= 16:
+        # cross-KV at bf16 is b * 245.8 MB for K+V (11.8 GB at batch
+        # 48) — the A/B only fits at small batch
+        results["full_step_int8w"] = per_iter(timeit(
+            step_jit, params_q, make_cache(params_q, "bf16"),
+            repeats=args.repeats))
     results["full_step_int8w_crossint8"] = per_iter(timeit(
-        step_jit, params_q, make_cache(params_q, True),
+        step_jit, params_q, make_cache(params_q, "int8"),
+        repeats=args.repeats))
+    results["full_step_int8w_crossint4"] = per_iter(timeit(
+        step_jit, params_q, make_cache(params_q, "int4"),
         repeats=args.repeats))
     if bk <= 48:
         # bf16 A/B only at small batch: both param sets + caches exceed
         # the 16 GB chip at batch 16 x beam 5
         results["full_step_bf16w"] = per_iter(timeit(
-            step_jit, params, make_cache(params, False),
+            step_jit, params, make_cache(params, "bf16"),
             repeats=args.repeats))
     del params
 
     # ---- cross attention only: XLA bf16 vs Pallas fused -----------------
-    qc0 = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
-    ck = jnp.asarray(rng.standard_normal((L, b, S, h, dh)), jnp.bfloat16)
-    cv = jnp.asarray(rng.standard_normal((L, b, S, h, dh)), jnp.bfloat16)
+    qc0 = jnp.asarray(
+        rng.standard_normal((bk, 1, h, dh)).astype(np.float32), jnp.bfloat16)
+    if b <= 16:
+        # bf16 K+V = b * 245.8 MB — doesn't fit alongside params at 48
+        ck = jnp.asarray(
+            rng.standard_normal((L, b, S, h, dh)).astype(np.float32),
+            jnp.bfloat16)
+        cv = jnp.asarray(
+            rng.standard_normal((L, b, S, h, dh)).astype(np.float32),
+            jnp.bfloat16)
 
-    @jax.jit
-    def cross_bf16(qc, ck, cv):
-        from ttasr.models.whisper.model import _cross_attention
+        @jax.jit
+        def cross_bf16(qc, ck, cv):
+            from ttasr.models.whisper.model import _cross_attention
 
-        def layer(carry, scanned):
-            ck_l, cv_l = scanned
-            out = _cross_attention(carry, ck_l, cv_l)
-            return out.astype(carry.dtype), None
+            def layer(carry, scanned):
+                ck_l, cv_l = scanned
+                out = _cross_attention(carry, ck_l, cv_l)
+                return out.astype(carry.dtype), None
 
-        def body(i, carry):
-            out, _ = jax.lax.scan(layer, carry, (ck, cv))
-            return out
+            def body(i, carry):
+                out, _ = jax.lax.scan(layer, carry, (ck, cv))
+                return out
 
-        return jax.lax.fori_loop(0, ITERS, body, qc)
+            return jax.lax.fori_loop(0, ITERS, body, qc)
 
-    results["cross_attn_bf16_32L"] = per_iter(timeit(
-        cross_bf16, qc0, ck, cv, repeats=args.repeats))
+        results["cross_attn_bf16_32L"] = per_iter(timeit(
+            cross_bf16, qc0, ck, cv, repeats=args.repeats))
+        del ck, cv
 
     from ttasr.ops.cross_attention_pallas import (
         cross_attention_int8,
@@ -187,7 +206,7 @@ def main():
 
     s_pad = S + (-S) % 8
     ck8_flat = jnp.asarray(
-        rng.integers(-127, 127, (L, b, s_pad, h * dh)), jnp.int8)
+        rng.integers(-127, 127, (L, b, s_pad, h * dh)).astype(np.int8))
     scales = jnp.asarray(
         rng.standard_normal((L * b, s_pad, h)).astype(np.float32) ** 2 + 0.01)
     sc_t = transpose_scales(scales).reshape(L, b, h, s_pad)
@@ -215,7 +234,7 @@ def main():
     from ttasr.ops.decoder_blocks_pallas import attnout_ln_q_cross_int8
 
     blocks = params_q["decoder"]["blocks"]
-    x0 = jnp.asarray(rng.standard_normal((b, 8, d)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((b, 8, d)).astype(np.float32))
 
     @jax.jit
     def fused_attnout_cross(x, blocks, ck8_flat, sc_t):
@@ -277,10 +296,13 @@ def main():
                 repeats=args.repeats))
 
     # ---- self attention int8 over cache ----------------------------------
-    q0 = jnp.asarray(rng.standard_normal((bk, 1, h, dh)), jnp.bfloat16)
-    k8 = jnp.asarray(rng.integers(-127, 127, (L, bk, clen, h, dh)), jnp.int8)
-    ks = jnp.asarray(np.abs(rng.standard_normal((L, bk, clen, h))) + 0.01,
-                     jnp.float32)
+    q0 = jnp.asarray(
+        rng.standard_normal((bk, 1, h, dh)).astype(np.float32), jnp.bfloat16)
+    k8 = jnp.asarray(
+        rng.integers(-127, 127, (L, bk, clen, h, dh)).astype(np.int8))
+    ks = jnp.asarray(
+        (np.abs(rng.standard_normal((L, bk, clen, h))) + 0.01)
+        .astype(np.float32))
     mask = jnp.ones((bk, 1, 1, clen), bool)
 
     @jax.jit
@@ -312,16 +334,18 @@ def main():
     k_rows = args.beam
     b_audio = max(bk // k_rows, 1)
     hp = ((h + 7) // 8) * 8
-    qkv0 = jnp.asarray(rng.standard_normal((b_audio, k_rows, 3 * d)) * 0.1,
-                       jnp.float32)
-    kf8 = jnp.asarray(rng.integers(-127, 127, (L, b_audio, k_rows, clen, d)),
-                      jnp.int8)
+    qkv0 = jnp.asarray(
+        (rng.standard_normal((b_audio, k_rows, 3 * d)) * 0.1)
+        .astype(np.float32))
+    kf8 = jnp.asarray(
+        rng.integers(-127, 127, (L, b_audio, k_rows, clen, d))
+        .astype(np.int8))
     kfs = jnp.asarray(
-        np.abs(rng.standard_normal((L, b_audio, k_rows, hp, clen))) + 0.01,
-        jnp.float32)
+        (np.abs(rng.standard_normal((L, b_audio, k_rows, hp, clen))) + 0.01)
+        .astype(np.float32))
     pad0 = jnp.zeros((b_audio, k_rows), jnp.int32)
-    anc0 = jnp.asarray(rng.integers(0, k_rows, (b_audio, k_rows, clen)),
-                       jnp.int32)
+    anc0 = jnp.asarray(
+        rng.integers(0, k_rows, (b_audio, k_rows, clen)).astype(np.int32))
     slot_mid = clen - 2
 
     def _megakernel_loop(indirect):
@@ -362,7 +386,7 @@ def main():
     )
     from ttasr.ops.decoder_mlp_pallas import mlp_with_crossout_int8
 
-    x2_0 = jnp.asarray(rng.standard_normal((bk, d)), jnp.float32)
+    x2_0 = jnp.asarray(rng.standard_normal((bk, d)).astype(np.float32))
 
     @jax.jit
     def weights_only(x2, blocks):
@@ -392,7 +416,8 @@ def main():
         weights_only, x2_0, blocks, repeats=args.repeats))
 
     # ---- unembed + top-k ---------------------------------------------------
-    hdn0 = jnp.asarray(rng.standard_normal((bk, d)), jnp.bfloat16)
+    hdn0 = jnp.asarray(
+        rng.standard_normal((bk, d)).astype(np.float32), jnp.bfloat16)
 
     @jax.jit
     def unembed_topk(hdn, dec):
@@ -465,7 +490,7 @@ def main():
         rules_fused_topk, lg0, repeats=args.repeats))
 
     # ---- beam-reorder gather of the self-KV caches -------------------------
-    idx0 = jnp.asarray(rng.integers(0, bk, (bk,)), jnp.int32)
+    idx0 = jnp.asarray(rng.integers(0, bk, (bk,)).astype(np.int32))
 
     @jax.jit
     def beam_gather(k8, ks, idx):
