@@ -75,6 +75,12 @@ def main():
 
     params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
     params_q = fuse_qkv(quantize_params(params))
+    if bk > 48:
+        # the bf16-weights full-step A/B below is gated to bk <= 48 —
+        # holding the unquantized set (~3.1 GB) through the batch-48
+        # int8-cross stage (cross K+V ~5.9 GB) OOM'd the 16 GB chip
+        del params
+        params = None
     enc_out = jnp.asarray(
         rng.standard_normal((b, S, d)).astype(np.float32), jnp.bfloat16)
 
@@ -85,12 +91,22 @@ def main():
             return c + 1.0
         return jax.lax.fori_loop(0, ITERS, body, x)
 
+    def emit(name, value):
+        results[name] = value
+        print(json.dumps({"stage": name, "ms": round(value * 1e3, 3),
+                          "shapes": f"b{b} k{k} len{clen}"}), flush=True)
+
     base = timeit(rpc_base, jnp.zeros((8, 128), jnp.float32),
                   repeats=args.repeats)
-    results["rpc_baseline_total"] = base
+    emit("rpc_baseline_total", base)
 
     def per_iter(total):
         return (total - base) / ITERS
+
+    def record(name, total):
+        # print-as-you-go: a late-stage OOM (beam_gather at batch 48)
+        # must not lose the 30+ min of stages that already ran
+        emit(name, per_iter(total))
 
     # ---- full _step loop (token fed back from logits) --------------------
     pad = jnp.zeros((bk,), jnp.int32)
@@ -151,19 +167,19 @@ def main():
     if b <= 16:
         # cross-KV at bf16 is b * 245.8 MB for K+V (11.8 GB at batch
         # 48) — the A/B only fits at small batch
-        results["full_step_int8w"] = per_iter(timeit(
+        record("full_step_int8w", timeit(
             step_jit, params_q, make_cache(params_q, "bf16"),
             repeats=args.repeats))
-    results["full_step_int8w_crossint8"] = per_iter(timeit(
+    record("full_step_int8w_crossint8", timeit(
         step_jit, params_q, make_cache(params_q, "int8"),
         repeats=args.repeats))
-    results["full_step_int8w_crossint4"] = per_iter(timeit(
+    record("full_step_int8w_crossint4", timeit(
         step_jit, params_q, make_cache(params_q, "int4"),
         repeats=args.repeats))
     if bk <= 48:
         # bf16 A/B only at small batch: both param sets + caches exceed
         # the 16 GB chip at batch 16 x beam 5
-        results["full_step_bf16w"] = per_iter(timeit(
+        record("full_step_bf16w", timeit(
             step_jit, params, make_cache(params, "bf16"),
             repeats=args.repeats))
     del params
@@ -195,7 +211,7 @@ def main():
 
             return jax.lax.fori_loop(0, ITERS, body, qc)
 
-        results["cross_attn_bf16_32L"] = per_iter(timeit(
+        record("cross_attn_bf16_32L", timeit(
             cross_bf16, qc0, ck, cv, repeats=args.repeats))
         del ck, cv
 
@@ -227,7 +243,7 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, qc)
 
-    results["cross_attn_int8_standalone_32L"] = per_iter(timeit(
+    record("cross_attn_int8_standalone_32L", timeit(
         cross_int8_standalone, qc0, ck8_flat, sc_t, repeats=args.repeats))
 
     # ---- fused attnout+cross kernel over 32 layers -----------------------
@@ -255,7 +271,7 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, x)
 
-    results["fused_attnout_cross_int8_32L"] = per_iter(timeit(
+    record("fused_attnout_cross_int8_32L", timeit(
         fused_attnout_cross, x0, blocks, ck8_flat, sc_t,
         repeats=args.repeats))
 
@@ -264,7 +280,7 @@ def main():
         from ttasr.ops.int4 import pack_int4
 
         ck4_flat = jax.jit(pack_int4)(ck8_flat)
-        results["fused_attnout_cross_int4_32L"] = per_iter(timeit(
+        record("fused_attnout_cross_int4_32L", timeit(
             fused_attnout_cross, x0, blocks, ck4_flat, sc_t,
             repeats=args.repeats))
 
@@ -291,7 +307,7 @@ def main():
             return jax.lax.fori_loop(0, ITERS, body, x)
 
         if b % 2 == 0:
-            results["fused_attnout_cross_int4_g2_32L"] = per_iter(timeit(
+            record("fused_attnout_cross_int4_g2_32L", timeit(
                 fused_attnout_cross_g2, x0, blocks, ck4_flat, sc_t,
                 repeats=args.repeats))
 
@@ -318,7 +334,7 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, q)
 
-    results["self_attn_int8_32L"] = per_iter(timeit(
+    record("self_attn_int8_32L", timeit(
         self_int8, q0, k8, ks, repeats=args.repeats))
 
     # ---- fused self-attn megakernel: direct vs ancestry-indirect ----------
@@ -374,9 +390,9 @@ def main():
 
         return run
 
-    results["self_attn_kernel_32L"] = per_iter(timeit(
+    record("self_attn_kernel_32L", timeit(
         _megakernel_loop(False), qkv0, kf8, kfs, repeats=args.repeats))
-    results["self_attn_indirect_kernel_32L"] = per_iter(timeit(
+    record("self_attn_indirect_kernel_32L", timeit(
         _megakernel_loop(True), qkv0, kf8, kfs, repeats=args.repeats))
 
     # ---- fused weight kernels over 32 layers ------------------------------
@@ -412,7 +428,7 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, x2)
 
-    results["weight_kernels_32L"] = per_iter(timeit(
+    record("weight_kernels_32L", timeit(
         weights_only, x2_0, blocks, repeats=args.repeats))
 
     # ---- unembed + top-k ---------------------------------------------------
@@ -432,7 +448,7 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, hdn)
 
-    results["unembed_topk"] = per_iter(timeit(
+    record("unembed_topk", timeit(
         unembed_topk, hdn0, params_q["decoder"], repeats=args.repeats))
 
     # ---- beam-step glue: rules + log_softmax + top-k + bookkeeping -------
@@ -468,7 +484,7 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, lg)
 
-    results["rules_softmax_topk"] = per_iter(timeit(
+    record("rules_softmax_topk", timeit(
         rules_softmax_topk, lg0, repeats=args.repeats))
 
     from ttasr.models.whisper.decode import _apply_rules_logprobs
@@ -486,10 +502,16 @@ def main():
 
         return jax.lax.fori_loop(0, ITERS, body, lg)
 
-    results["rules_fused_topk"] = per_iter(timeit(
+    record("rules_fused_topk", timeit(
         rules_fused_topk, lg0, repeats=args.repeats))
 
     # ---- beam-reorder gather of the self-KV caches -------------------------
+    # the gather's g1/g2/s1/s2 temporaries need ~4.5 GB headroom at
+    # batch 48: drop the cross caches (~4.6 GB) and megakernel operands
+    # (~4.1 GB) that are dead from here on
+    del ck8_flat, sc_t, kf8, kfs, qkv0, x0, q0
+    if "ck4_flat" in dir():
+        del ck4_flat
     idx0 = jnp.asarray(rng.integers(0, bk, (bk,)).astype(np.int32))
 
     @jax.jit
@@ -511,7 +533,7 @@ def main():
         _, acc = jax.lax.fori_loop(0, ITERS, body, (idx, jnp.int32(0)))
         return acc
 
-    results["beam_gather_kv"] = per_iter(timeit(
+    record("beam_gather_kv", timeit(
         beam_gather, k8, ks, idx0, repeats=args.repeats))
 
     # ---- the same reorder via the Pallas permuted-copy kernel --------------
@@ -536,7 +558,7 @@ def main():
         _, acc = jax.lax.fori_loop(0, ITERS, body, (idx, jnp.int32(0)))
         return acc
 
-    results["beam_gather_pallas"] = per_iter(timeit(
+    record("beam_gather_pallas", timeit(
         beam_gather_kernel, k8_flat, ks_flat, idx0, repeats=args.repeats))
 
     # ---- whole beam step: beam_decode at two lengths, slope = ms/step ----
@@ -572,13 +594,10 @@ def main():
                                            ppad, key, opts=o, ti=ti),
                 repeats=args.repeats)
             beam_ms[n_tok] = t_run
-        results[f"beam_step_marginal{tag}"] = (beam_ms[128] - beam_ms[64]) / 64
-        results[f"beam64_total{tag}"] = beam_ms[64]
-        results[f"beam128_total{tag}"] = beam_ms[128]
+        emit(f"beam_step_marginal{tag}", (beam_ms[128] - beam_ms[64]) / 64)
+        emit(f"beam64_total{tag}", beam_ms[64])
+        emit(f"beam128_total{tag}", beam_ms[128])
 
-    for name, t in results.items():
-        print(json.dumps({"stage": name, "ms": round(t * 1e3, 3),
-                          "shapes": f"b{b} k{k} len{clen}"}))
 
 
 if __name__ == "__main__":
