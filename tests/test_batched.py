@@ -233,6 +233,47 @@ def test_batched_no_speech_returns_empty(engine):
     assert info.duration_after_vad == 0.0
 
 
+def test_batched_pipeline_reuses_server_and_runs_inside_loop(engine):
+    """ADVICE round 4 #4: ``transcribe`` is callable from a running
+    event loop (faster-whisper's equivalent is context-agnostic) and
+    repeated calls reuse ONE BatchServer instead of building and
+    tearing one down per file."""
+    import asyncio
+
+    audio = _two_burst_audio()
+    pipe = BatchedInferencePipeline(engine, batch_size=2)
+    try:
+        segs1, _ = pipe.transcribe(audio, language="zh", beam_size=1,
+                                   max_new_tokens=6, chunk_length=4,
+                                   **GATES_OFF)
+        server1 = pipe._server
+        assert server1 is not None and not server1._stop
+        served1 = server1.stats["served"]
+
+        # second call: same server object, more requests served
+        segs2, _ = pipe.transcribe(audio, language="zh", beam_size=1,
+                                   max_new_tokens=6, chunk_length=4,
+                                   **GATES_OFF)
+        assert pipe._server is server1
+        assert server1.stats["served"] > served1
+        assert [(s.start, s.text) for s in segs2] == \
+            [(s.start, s.text) for s in segs1]
+
+        # callable from inside a running event loop (asyncio.run raised
+        # RuntimeError here before)
+        async def inside_loop():
+            return pipe.transcribe(audio, language="zh", beam_size=1,
+                                   max_new_tokens=6, chunk_length=4,
+                                   **GATES_OFF)
+
+        segs3, _ = asyncio.run(inside_loop())
+        assert [(s.start, s.text) for s in segs3] == \
+            [(s.start, s.text) for s in segs1]
+    finally:
+        pipe.close()
+    assert pipe._server is None
+
+
 def test_cli_batched_flag(engine, tmp_path):
     """`ttasr.cli.asr --batched` routes single files through the
     BatchedInferencePipeline and still writes the {name}_asr.txt

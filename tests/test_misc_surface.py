@@ -268,6 +268,22 @@ def test_streaming_token_budget_buckets(monkeypatch):
     assert budget(5.0) == 48
     assert budget(6.0) == 96
     assert budget(20.0) == 224
+    # Boundary alignment (ADVICE round 4 #2): the budget thresholds must
+    # EQUAL the short-window encode buckets, or a live chunk in the gap
+    # (e.g. 5.0-5.12 s) hits a never-warmed (window, budget) program —
+    # a 20 s-5 min remote compile landing on a live stream.
+    from ttasr.engine.serving import window_bucket
+    reachable = set()
+    for n in range(1, 500):          # 0.1 s steps through 50 s
+        d = n / 10.0
+        reachable.add((window_bucket(int(d * 16000)), budget(d)))
+    assert reachable == {(81920, 48), (245760, 96), (480000, 224)}
+    # census + warm-up must cover exactly that set
+    import tools.compile_census as census_mod
+    assert set(census_mod.STREAM_WINDOW_BUDGETS) == reachable
+    warmed = {(window_bucket(int(s * 16000)), budget(s))
+              for s in (1.5, 6.0, 16.0)}   # warm_up_async seconds list
+    assert warmed == reachable
     monkeypatch.setenv("TTASR_STREAM_TOKEN_CAP", "0")
     assert budget(1.5) == 224  # 0 = full window budget
     monkeypatch.setenv("TTASR_STREAM_TOKEN_CAP", "64")

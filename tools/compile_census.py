@@ -32,10 +32,9 @@ STREAM_BUDGETS = (48, 96, 224)            # jax_whisper_asr._token_budget
 WINDOW_BUDGET = 224                       # SAMPLE_LEN
 # streaming short-window encode buckets (serving.WINDOW_BUCKETS + full):
 # chunk seconds -> (window samples, token budget) pairs that co-occur —
-# budgets 48/96/224 switch at 5 s/12 s, windows at 5.12 s/15.36 s, so
-# only these (window, budget) combos are reachable
-STREAM_WINDOW_BUDGETS = ((81920, 48), (245760, 96), (245760, 224),
-                         (480000, 224))
+# the budget thresholds EQUAL the window buckets (5.12 s / 15.36 s,
+# ADVICE round 4 #2), so exactly one budget exists per window
+STREAM_WINDOW_BUDGETS = ((81920, 48), (245760, 96), (480000, 224))
 
 
 def census(slots: int = 4, *, beam_size: int = 5, best_of: int = 5,

@@ -112,6 +112,16 @@ def process_audio_folder(folder_path: str,
             condition_on_previous_text=True, initial_prompt="",
         ))
 
+    # ONE pipeline (and its internal BatchServer) serves every --batched
+    # file: building/tearing a server per file wasted a warm queue and
+    # leaked a loop per call (ADVICE round 4 #4)
+    batched_pipeline = None
+    if batched and hasattr(engine, "_decode_with_fallback_server"):
+        from ttasr.engine.batched import BatchedInferencePipeline
+
+        batched_pipeline = BatchedInferencePipeline(
+            engine, batch_size=max(concurrency, 4))
+
     comparison_results = []
     for i, audio_file in enumerate(audio_files, 1):
         print(f"處理音檔 {i}/{len(audio_files)}: {os.path.basename(audio_file)}")
@@ -125,14 +135,10 @@ def process_audio_folder(folder_path: str,
             else:
                 if isinstance(pre, Exception):
                     raise pre
-                if batched and hasattr(engine, "_decode_with_fallback_server"):
+                if batched_pipeline is not None:
                     # VAD chunks of THIS file decode concurrently
                     # (BatchedInferencePipeline; no prompt carry)
-                    from ttasr.engine.batched import BatchedInferencePipeline
-
-                    segments, info = BatchedInferencePipeline(
-                        engine, batch_size=max(concurrency, 4)
-                    ).transcribe(
+                    segments, info = batched_pipeline.transcribe(
                         audio_file, language="zh", word_timestamps=False,
                         beam_size=5, initial_prompt="",
                     )
@@ -186,6 +192,9 @@ def process_audio_folder(folder_path: str,
                 "has_original_transcript": False,
                 "error": str(exc),
             })
+
+    if batched_pipeline is not None:
+        batched_pipeline.close()
 
     with_cer = [r for r in comparison_results if r.get("cer_result")]
     n_cer = len(with_cer)

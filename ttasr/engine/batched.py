@@ -224,24 +224,74 @@ class BatchedInferencePipeline:
     def __init__(self, model, batch_size: int = 8):
         self.model = model
         self.batch_size = batch_size
+        # Persistent private event loop + BatchServer: the sync
+        # ``transcribe`` is callable from ANY context (including inside a
+        # running event loop — ``asyncio.run`` raised there, unlike
+        # faster-whisper's equivalent), and repeated calls reuse one
+        # server instead of building and tearing one down per file
+        # (ADVICE round 4 #4).  Async callers should prefer
+        # :func:`transcribe_batched_with_server` on their own loop.
+        self._loop = None
+        self._thread = None
+        self._server = None
+        self._server_cfg = None
+
+    def _ensure_loop(self):
+        import threading
+
+        if self._loop is None or not self._thread.is_alive():
+            self._loop = asyncio.new_event_loop()
+            self._thread = threading.Thread(
+                target=self._loop.run_forever,
+                name="ttasr-batched-pipeline", daemon=True)
+            self._thread.start()
+        return self._loop
+
+    async def _get_server(self, slots: int, beam_size: int):
+        from ttasr.engine.serving import BatchServer
+
+        cfg = (slots, beam_size)
+        if (self._server is None or self._server._stop
+                or self._server_cfg != cfg):
+            if self._server is not None and not self._server._stop:
+                await self._server.stop()
+            self._server = BatchServer(self.model, slots=slots,
+                                       beam_size=beam_size)
+            await self._server.start()
+            self._server_cfg = cfg
+        return self._server
 
     def transcribe(self, audio, batch_size: Optional[int] = None,
                    chunk_length: Optional[float] = None,
                    **kwargs) -> Tuple[List[Segment], TranscriptionInfo]:
-        from ttasr.engine.serving import BatchServer
-
         slots = int(batch_size or self.batch_size)
         beam_size = int(kwargs.get("beam_size", 5))
 
         async def run():
-            server = BatchServer(self.model, slots=slots,
-                                 beam_size=beam_size)
-            await server.start()
-            try:
-                return await transcribe_batched_with_server(
-                    self.model, server, audio,
-                    chunk_length=chunk_length, **kwargs)
-            finally:
-                await server.stop()
+            server = await self._get_server(slots, beam_size)
+            return await transcribe_batched_with_server(
+                self.model, server, audio,
+                chunk_length=chunk_length, **kwargs)
 
-        return asyncio.run(run())
+        loop = self._ensure_loop()
+        return asyncio.run_coroutine_threadsafe(run(), loop).result()
+
+    def close(self) -> None:
+        """Stop the private server and loop (idempotent)."""
+        if self._loop is None:
+            return
+        loop, self._loop = self._loop, None
+        if self._server is not None and not self._server._stop:
+            asyncio.run_coroutine_threadsafe(
+                self._server.stop(), loop).result(timeout=30)
+        self._server = None
+        loop.call_soon_threadsafe(loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

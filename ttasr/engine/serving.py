@@ -318,15 +318,18 @@ class BatchServer:
 
         A pending priority group is always allowed (dispatching it right
         behind the running decode is strictly sooner than waiting for
-        the fetch).  BULK groups pre-dispatch only when no stream has
-        been active recently: a partial arriving mid-decode must not
-        find an extra bulk group already queued on the device ahead of
-        it (the one-group head-of-line bound is what the 10-stream soak
+        the fetch).  BULK groups pre-dispatch only when (a) no stream has
+        been active recently and (b) a fresh queue drain confirmed no
+        unranked arrivals: a partial arriving mid-decode must not find
+        an extra bulk group already queued on the device ahead of it
+        (the one-group head-of-line bound is what the 10-stream soak
         p50 was measured under)."""
         if self.pipeline_groups < 2:
             return False
         if any(r.priority > 0 for r in pending):
             return True
+        if not self._queue.empty():
+            return False          # finish + re-rank with the arrivals
         return (time.time() - self._last_priority_ts) > self._priority_quiet_s
 
     async def _finish(self, group: List[WindowRequest], fut) -> None:
@@ -400,6 +403,21 @@ class BatchServer:
                         self._queue.get(), timeout=0.02))
                 except asyncio.TimeoutError:
                     pass
+            if prev_fut is not None and not any(
+                    r.priority > 0 for r in pending):
+                # about to consider BULK pre-dispatch: give every ready
+                # coroutine one loop tick so an already-scheduled
+                # priority transcribe_window lands its put before the
+                # decision (on a one-core host the decode executor
+                # threads starve the loop, and back-to-back bulk
+                # pre-dispatches could otherwise win the GIL race over
+                # a waiting partial — ADVICE round 4 #1), then re-drain
+                await asyncio.sleep(0)
+                while True:
+                    try:
+                        pending.append(self._queue.get_nowait())
+                    except asyncio.QueueEmpty:
+                        break
             if prev_fut is not None and not self._pipeline_ok(pending):
                 # finish the running group FIRST, then re-rank with
                 # whatever arrived during it (old one-group semantics)

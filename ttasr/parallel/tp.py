@@ -206,6 +206,12 @@ def _get_decode_fn(mesh, cfg, opts, ti, stacked_key, stacked, *,
         in_specs = (specs, P("data"), P("data"), P("data"), P())
     else:
         def body(p, enc, prompt, pad, rng, temp):
+            # the key arrives replicated (P()); fold the data-shard index
+            # in so temperature>0 sampling draws independent noise per
+            # shard — identical keys would correlate row i across every
+            # shard, diverging from single-chip sampling statistics
+            # (ADVICE round 4 #3)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
             return _greedy_decode(_unstack(p, stacked), cfg, enc, prompt,
                                   pad, rng, temp, opts=tp_opts, ti=ti)
 

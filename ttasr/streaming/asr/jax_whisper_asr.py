@@ -112,14 +112,23 @@ class JaxWhisperASR(ASRInterface):
         partial's worst-case decode ~5x cheaper than the 224-token
         window budget (which a chunk's audio physically cannot fill).
         TTASR_STREAM_TOKEN_CAP=N forces a single fixed budget of N
-        tokens (0 = the full 224-token window budget)."""
+        tokens (0 = the full 224-token window budget).
+
+        Boundaries EQUAL the short-window encode buckets
+        (serving.WINDOW_BUCKETS: 81920 samples = 5.12 s, 245760 =
+        15.36 s) so only |buckets|+1 (window, budget) combos are ever
+        reachable — a misaligned threshold (the old 5.0 s) created a
+        never-warmed (81920-sample, 96-token) program that a live
+        5.0-5.12 s chunk would hit with a 20 s-5 min remote compile
+        (ADVICE round 4 #2)."""
         cap = os.environ.get("TTASR_STREAM_TOKEN_CAP")
         if cap is not None:
             n = int(cap)
             return 224 if n <= 0 else min(n, 224)
-        if duration_s <= 5.0:
+        from ttasr.engine.serving import WINDOW_BUCKETS
+        if duration_s * 16000 <= WINDOW_BUCKETS[0]:   # <= 5.12 s
             return 48
-        if duration_s <= 12.0:
+        if duration_s * 16000 <= WINDOW_BUCKETS[1]:   # <= 15.36 s
             return 96
         return 224
 
@@ -248,10 +257,12 @@ class JaxWhisperASR(ASRInterface):
         )
         # all three _token_budget buckets (48/96/224) and all reachable
         # window buckets (5.12 s / 15.36 s / 30 s): scratch can exceed
-        # 12 s when processing falls behind and the silence gate keeps
-        # accumulating, and an unwarmed bucket is a 20 s-5 min remote
-        # compile landing on a live stream (ADVICE round 2)
-        for seconds in (1.5, 6.0, 13.0, 16.0):
+        # 15.36 s when processing falls behind and the silence gate
+        # keeps accumulating, and an unwarmed bucket is a 20 s-5 min
+        # remote compile landing on a live stream (ADVICE round 2).
+        # Budget boundaries EQUAL the window buckets (ADVICE round 4
+        # #2), so exactly these three (window, budget) combos exist.
+        for seconds in (1.5, 6.0, 16.0):
             budget = self._token_budget(seconds)
             try:
                 if self.server is not None:
