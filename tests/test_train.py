@@ -349,3 +349,45 @@ def test_forced_decoder_ids_and_suppress_tokens(tmp_path):
     examples = load_tsv_corpus(CORPUS, "train_ds_01", "train")
     metrics = trainer.evaluate(examples)
     assert "eval_cer" in metrics and metrics["eval_samples"] == 4
+
+
+def test_generation_num_beams_eval(tmp_path):
+    """VERDICT r4 #8: the eval path honors generation_num_beams
+    (reference train_asr.py:739 evaluates with
+    num_beams=training_args.generation_num_beams).  beam-1 must equal
+    the greedy eval exactly; beam-k runs the beam program."""
+    from unittest import mock
+
+    from ttasr.models.whisper import decode as decode_mod
+    from ttasr.train.trainer import Trainer, TrainerConfig
+
+    cfg = _micro_cfg()
+    params = init_params(cfg, seed=0)
+    examples = load_tsv_corpus(CORPUS, "train_ds_01", "train")
+
+    def make(beams):
+        tc = TrainerConfig(
+            output_dir=str(tmp_path), max_steps=1,
+            per_device_train_batch_size=2, warmup_steps=1,
+            generation_max_length=8, gradient_checkpointing=False,
+            generation_num_beams=beams,
+        )
+        return Trainer(params, cfg, TOK, tc)
+
+    greedy = make(1).evaluate(examples)
+    beam1 = make(1).evaluate(examples, num_beams=1)
+    assert beam1 == greedy
+
+    with mock.patch.object(decode_mod, "_beam_decode",
+                           wraps=decode_mod._beam_decode) as spy:
+        beam2 = make(2).evaluate(examples)
+    assert spy.called, "beam eval must route through beam_decode"
+    assert "eval_cer" in beam2 and beam2["eval_samples"] == 4
+
+    # the config default flows through evaluate() with no explicit arg,
+    # and an explicit override wins over the config
+    with mock.patch.object(decode_mod, "_beam_decode",
+                           wraps=decode_mod._beam_decode) as spy:
+        over = make(1).evaluate(examples, num_beams=2)
+    assert spy.called
+    assert over == beam2

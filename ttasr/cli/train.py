@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_steps", type=int, default=1000)
     p.add_argument("--save_steps", type=int, default=1000)
     p.add_argument("--generation_max_length", type=int, default=225)
+    p.add_argument("--generation_num_beams", type=int, default=1,
+                   help="beam width for eval generation (reference "
+                        "train_asr.py:739; 1 = greedy)")
     p.add_argument("--group_by_length", action="store_true", default=False)
     p.add_argument("--gradient_checkpointing", action="store_true", default=False)
     p.add_argument("--do_train", action="store_true")
@@ -166,6 +169,7 @@ def main(argv=None) -> dict:
         eval_steps=args.eval_steps,
         save_steps=args.save_steps,
         generation_max_length=args.generation_max_length,
+        generation_num_beams=args.generation_num_beams,
         language=args.language,
         task=args.task,
         do_lower_case=args.do_lower_case,

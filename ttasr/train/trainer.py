@@ -29,6 +29,7 @@ from ttasr.models.whisper.config import WhisperConfig
 from ttasr.models.whisper.decode import (
     DecodingOptions,
     TokenizerInfo,
+    beam_decode,
     greedy_decode,
     pad_prompts,
 )
@@ -64,6 +65,10 @@ class TrainerConfig:
     eval_steps: int = 1000
     save_steps: int = 1000
     generation_max_length: int = 225
+    # reference train_asr.py:739: trainer.evaluate(num_beams=
+    # training_args.generation_num_beams) under predict_with_generate;
+    # 1 = greedy (run.sh's effective default)
+    generation_num_beams: int = 1
     language: str = "zh"
     task: str = "transcribe"
     do_lower_case: bool = True
@@ -233,8 +238,12 @@ class Trainer:
 
     # -- evaluation --------------------------------------------------------------
 
-    def evaluate(self, eval_examples: List[CorpusExample]) -> dict:
-        """Greedy generation + CER (predict_with_generate parity)."""
+    def evaluate(self, eval_examples: List[CorpusExample],
+                 num_beams: Optional[int] = None) -> dict:
+        """Generation + CER (predict_with_generate parity).  ``num_beams``
+        (default ``generation_num_beams``) > 1 evaluates with beam search
+        — reference train_asr.py:739 passes
+        ``num_beams=training_args.generation_num_beams``."""
         tok = self.tokenizer
         ti = TokenizerInfo.from_tokenizer(tok, n_vocab=self.cfg.vocab_size)
         if self.tc.suppress_tokens is not None:
@@ -244,8 +253,10 @@ class Trainer:
                 ti, suppress=tuple(sorted(set(ti.suppress)
                                           | set(self.tc.suppress_tokens)))
             )
+        beams = max(1, int(num_beams if num_beams is not None
+                           else self.tc.generation_num_beams))
         opts = DecodingOptions(
-            beam_size=1, without_timestamps=True,
+            beam_size=beams, without_timestamps=True,
             sample_len=min(self.tc.generation_max_length, 224),
         )
         if self.tc.forced_decoder_ids:
@@ -296,10 +307,16 @@ class Trainer:
                 audio[j, : len(a)] = a
             enc_out = self._eval_mel_encode(self.state.params, audio)
             prompt, pad = pad_prompts([prompt_ids] * bs, tok.eot)
-            out = greedy_decode(
-                self.state.params, self.cfg, enc_out, prompt, pad,
-                jax.random.PRNGKey(0), opts=opts, ti=ti,
-            )
+            if beams > 1:
+                out = beam_decode(
+                    self.state.params, self.cfg, enc_out, prompt, pad,
+                    jax.random.PRNGKey(0), opts=opts, ti=ti,
+                )
+            else:
+                out = greedy_decode(
+                    self.state.params, self.cfg, enc_out, prompt, pad,
+                    jax.random.PRNGKey(0), opts=opts, ti=ti,
+                )
             tokens = np.asarray(out["tokens"])
             lengths = np.asarray(out["lengths"])
             for j, ex in enumerate(chunk):
