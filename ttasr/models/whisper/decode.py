@@ -100,6 +100,12 @@ class DecodingOptions:
     # kernels see local heads; merged outputs all-gather over this axis.
     # None = single-chip / GSPMD paths (no collectives emitted).
     tp_axis: Optional[str] = None
+    # TP v2 (row-parallel): wo / wo_c / MLP weights carry ROW slices per
+    # shard (ttasr.parallel.tp.build_tp_decoder(row_parallel=True)), so
+    # the per-chip weight stream shrinks with the mesh; partial sums
+    # psum over tp_axis (3 collectives/layer) instead of gathering the
+    # attention outputs (2/layer).  Requires matching v2 params.
+    tp_row_parallel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,8 +182,24 @@ def _tp_gather(x, tp_axis):
     return jax.lax.all_gather(x, tp_axis, axis=x.ndim - 1, tiled=True)
 
 
+def _rp_proj(x_local, w, b, tp_axis):
+    """Row-parallel projection: local input slice x ROW-slice weight,
+    ``psum`` over the model axis, bias added once (TP v2)."""
+    out = jax.lax.psum(_proj(x_local, w, None).astype(jnp.float32), tp_axis)
+    return (out + b.astype(jnp.float32)).astype(x_local.dtype)
+
+
+def _rp_mlp(xln, blk, tp_axis):
+    """Row-parallel MLP: w1/b1 column-split (local hidden), w2
+    row-split; partial sums psum, b2 added once (TP v2)."""
+    h = jax.nn.gelu(_proj(xln, blk["w1"], blk["b1"]), approximate=False)
+    out = jax.lax.psum(_proj(h, blk["w2"], None).astype(jnp.float32),
+                       tp_axis)
+    return (out + blk["b2"].astype(jnp.float32)).astype(xln.dtype)
+
+
 def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
-             tp_axis=None, s_real=None):
+             tp_axis=None, s_real=None, tp_row_parallel=False):
     """Teacher-forced pass over the fixed-size prompt buffer.
 
     tokens: (B, MAX_PROMPT) int32, left-padded; real tokens occupy
@@ -253,8 +275,15 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
         # prefill attends its own (exact) K/V block
         attn = _attention(q, k_new, v_new, mask)
-        x = x + _proj(_tp_gather(_merge_heads(attn), tp_axis),
-                      blk["wo"], blk["bo"])
+        if tp_axis is not None and tp_row_parallel:
+            # TP v2: local-head attention x the shard's wo ROW slice,
+            # psum partial sums; same for wo_c and the MLP (the weight
+            # stream splits over the model axis — VERDICT r4 #6a)
+            x = x + _rp_proj(_merge_heads(attn), blk["wo"], blk["bo"],
+                             tp_axis)
+        else:
+            x = x + _proj(_tp_gather(_merge_heads(attn), tp_axis),
+                          blk["wo"], blk["bo"])
         hc = _ln(x, blk["lnc_s"], blk["lnc_b"])
         qc_flat = _proj(hc, blk["wq_c"], blk["bq_c"])
         qc = _split_heads(qc_flat,
@@ -263,9 +292,15 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
             cross = _cross_attn_quantized(qc, cfg, ck, cks, cv, cvs, s_real)
         else:
             cross = _cross_attention(qc, ck, cv)
-        x = x + _proj(_tp_gather(_merge_heads(cross), tp_axis),
-                      blk["wo_c"], blk["bo_c"])
-        x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
+        if tp_axis is not None and tp_row_parallel:
+            x = x + _rp_proj(_merge_heads(cross), blk["wo_c"],
+                             blk["bo_c"], tp_axis)
+            x = x + _rp_mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk,
+                            tp_axis)
+        else:
+            x = x + _proj(_tp_gather(_merge_heads(cross), tp_axis),
+                          blk["wo_c"], blk["bo_c"])
+            x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         if quantized:
             return x, (k_cache, v_cache, ks_cache, vs_cache)
         return x, (k_cache, v_cache)
@@ -294,7 +329,7 @@ def _logits_at(params, hidden):
 
 
 def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
-          anc=None, tp_axis=None, s_real=None):
+          anc=None, tp_axis=None, s_real=None, tp_row_parallel=False):
     """Single-token decode at global cache slot ``slot`` (scalar int32).
 
     token: (B, 1).  pad_len: (B,) — pad slots stay masked out.
@@ -421,7 +456,61 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
             attn = _quant_self_attention(q, k_cache, ks_cache, v_cache,
                                          vs_cache, mask)
             attn2 = _merge_heads(attn)[:, 0].astype(jnp.float32)
-        # TP: gather local-head attention before the replicated wo —
+        if tp_axis is not None and tp_row_parallel:
+            # TP v2 (row-parallel): no attention gather — the shard's
+            # local-head attn multiplies its ROW slice of wo and the
+            # partial sums psum, so wo/wo_c/MLP weight streams split
+            # over the model axis (VERDICT r4 #6a).  Biases add ONCE
+            # after each psum (they are not partial-summable).
+            from ttasr.ops.decoder_blocks_pallas import (
+                ln_q_cross_int8,
+                matmul_int8_partial,
+            )
+            from ttasr.ops.decoder_mlp_pallas import mlp_int8_fused
+
+            partial_o = matmul_int8_partial(
+                attn2, blk["wo"]["q"], blk["wo"]["s"], interpret=interp)
+            xo = (x2 + _jax.lax.psum(partial_o, tp_axis)
+                  + blk["bo"].reshape(1, -1).astype(jnp.float32))
+            if cross_quantized and dh == 64 and h % 2 == 0 and group <= 8:
+                audios_per_program = (
+                    2 if ck.dtype == jnp.uint8 and b_audio % 2 == 0 else 1)
+                cross_g = ln_q_cross_int8(
+                    xo.reshape(b_audio, group, -1),
+                    blk["lnc_s"], blk["lnc_b"],
+                    blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
+                    ck, cks, cv, cvs, s_real=s_real,
+                    group=audios_per_program, interpret=interp)
+                cross2 = cross_g.reshape(bk, h * dh)
+            else:
+                qc = qkv_int8_fused(
+                    xo, blk["lnc_s"], blk["lnc_b"],
+                    blk["wq_c"]["q"], blk["wq_c"]["s"], blk["bq_c"],
+                    interpret=interp)
+                qc = _split_heads(qc[:, None, :].astype(x.dtype),
+                                  qc.shape[-1] // dh)
+                if cross_quantized:
+                    cross = _cross_attn_quantized(qc, cfg, ck, cks, cv,
+                                                  cvs, s_real)
+                else:
+                    cross = _cross_attention(qc, ck, cv)
+                cross2 = _merge_heads(cross)[:, 0].astype(jnp.float32)
+            partial_oc = matmul_int8_partial(
+                cross2, blk["wo_c"]["q"], blk["wo_c"]["s"], interpret=interp)
+            x_mid = (xo + _jax.lax.psum(partial_oc, tp_axis)
+                     + blk["bo_c"].reshape(1, -1).astype(jnp.float32))
+            partial_mlp = mlp_int8_fused(
+                x_mid, blk["ln2_s"], blk["ln2_b"],
+                blk["w1"]["q"], blk["w1"]["s"], blk["b1"],
+                blk["w2"]["q"], blk["w2"]["s"], blk["b2"],
+                interpret=interp, partial=True)
+            x_new = (x_mid + _jax.lax.psum(partial_mlp, tp_axis)
+                     + blk["b2"].reshape(1, -1).astype(jnp.float32))
+            if flat:
+                return x_new[:, None, :].astype(x.dtype), new_rows
+            return x_new[:, None, :].astype(x.dtype), (
+                k_cache, v_cache, ks_cache, vs_cache)
+        # TP v1: gather local-head attention before the replicated wo —
         # the attnout kernels fuse wo@attn + residual + LN, so the
         # collective must land here, not after the kernel
         attn2 = _tp_gather(attn2, tp_axis)
@@ -883,7 +972,8 @@ def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=_use_flat_kv(params, cfg, opts))
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache,
-                             tp_axis=opts.tp_axis, s_real=enc_out.shape[1])
+                             tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
+                             tp_row_parallel=opts.tp_row_parallel)
 
     # no_speech prob: at the sot position's logits (predicting the token
     # after sot). sot sits right after the pad at index pad_len + sot_index;
@@ -963,6 +1053,7 @@ def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         new_logits, new_cache = _step(
             params, cfg, write_tok[:, None], slot, pad_len, s["cache"],
             tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
+            tp_row_parallel=opts.tp_row_parallel,
         )
         return dict(
             tokens=tokens, n=n, finished=finished, sum_logprob=sum_logprob,
@@ -1083,7 +1174,8 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
                        flat_kv=flat_kv)
     hidden_b, cache = _prefill(params, cfg, prompt, pad_len, cache,
-                               tp_axis=opts.tp_axis, s_real=enc_out.shape[1])
+                               tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
+                             tp_row_parallel=opts.tp_row_parallel)
     cache = _tile_cache_rows(cache, k)
 
     sot_slot = jnp.argmax((prompt == ti.sot).astype(jnp.int32) *
@@ -1228,6 +1320,7 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         new_logits, cache3 = _step(
             params, cfg, new_tok[:, None], slot_id, pad_rep, cache2, anc2,
             tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
+            tp_row_parallel=opts.tp_row_parallel,
         )
         out = dict(
             tokens=tokens, n=n, cum_logprob=cum_logprob, last=last,

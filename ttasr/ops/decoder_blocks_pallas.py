@@ -16,6 +16,13 @@ Kernels:
   audio: the int8 K/V stream converts in VMEM and the cross output
   never takes the (B, P, 16, 128) detour of the standalone kernel
   (whose q/out re-layouts ate its margin, PERF_NOTES.md).
+- :func:`matmul_int8_partial` — (x @ W) * s with NO bias/residual: the
+  row-parallel building block for tensor-parallel v2 (ttasr.parallel.tp
+  splits Wo/Wo_c/W2 rows over the model axis; shards psum the partials).
+- :func:`ln_q_cross_int8` — attnout_ln_q_cross_int8 minus the wo@attn
+  front half: takes the (already psummed) residual stream and runs
+  lnc + local cross-q + int8 cross-attention.  The TP-v2 counterpart,
+  where the wo projection happens row-parallel BEFORE the collective.
 
 Row counts must be multiples of 8 (pad outside; padding rows are junk
 but cheap next to the weight streams).
@@ -109,6 +116,65 @@ def attnout_ln_q_fused(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
 K_PAD = 8  # beam rows per audio padded to the 8-sublane tile
 
 
+def _cross_pairs_loop(qc_all, k_ref, ks_ref, v_ref, vs_ref, cross_ref, *,
+                      g, k_pad, s, s_real, n_pairs, dh, packed):
+    """Head-pair int8 cross-attention over a grid step's ``g`` audios.
+
+    Shared by :func:`attnout_ln_q_cross_int8` and :func:`ln_q_cross_int8`
+    (the TP-v2 variant) — identical math, so the two kernels cannot
+    drift.  ``qc_all``: (g * k_pad, DC) f32 pre-scaled queries."""
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * k_pad, s), 1)
+    valid = col_s < s_real
+    top_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (2 * k_pad, s), 0) < k_pad
+    col128 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 2 * dh), 1)
+
+    def pair_scales(ref, gi, p):
+        even = jnp.broadcast_to(ref[gi, 2 * p : 2 * p + 1, :],
+                                (2 * k_pad, s))
+        odd = jnp.broadcast_to(ref[gi, 2 * p + 1 : 2 * p + 2, :],
+                               (2 * k_pad, s))
+        return jnp.where(top_rows, even, odd)
+
+    def load_pair(ref, gi, c0):
+        if packed:
+            return unpack_int4_block(
+                ref[gi, :, c0 : c0 + 2 * dh]).astype(jnp.bfloat16)
+        return ref[gi, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
+
+    for gi in range(g):
+        qc = qc_all[gi * k_pad : (gi + 1) * k_pad]
+        for p in range(n_pairs):
+            c0 = p * 2 * dh
+            k_pair = load_pair(k_ref, gi, c0)
+            v_pair = load_pair(v_ref, gi, c0)
+            q_cols = qc[:, c0 : c0 + 2 * dh]              # (8, 128)
+            # block-diagonal (16, 128): rows 0..7 even head, 8..15 odd
+            q_pair = jnp.concatenate(
+                [jnp.where(col128 < dh, q_cols, 0.0),
+                 jnp.where(col128 >= dh, q_cols, 0.0)], axis=0
+            ).astype(jnp.bfloat16)
+            raw = jax.lax.dot_general(
+                q_pair, k_pair, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (16, S)
+            scores = jnp.where(
+                valid, raw * pair_scales(ks_ref, gi, p),
+                np.finfo(np.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = (probs * pair_scales(vs_ref, gi, p)
+                     ).astype(jnp.bfloat16)
+            out_pair = jax.lax.dot_general(
+                probs, v_pair, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (16, 128)
+            # merged-head layout: cols 0:64 from the even-head rows,
+            # cols 64:128 from the odd-head rows (lane select)
+            merged = jnp.where(col128 < dh, out_pair[:k_pad],
+                               out_pair[k_pad:])
+            cross_ref[gi, :, c0 : c0 + 2 * dh] = merged
+
+
 @functools.partial(jax.jit,
                    static_argnames=("s_real", "group", "interpret"))
 def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
@@ -184,57 +250,9 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
         qc_all = jnp.dot(ln, wq_ref[:].astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         qc_all = (qc_all * wqs_ref[:] + bq_ref[:]) * qscale  # (gK, D)
-
-        col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * k_pad, s), 1)
-        valid = col_s < s_real
-        top_rows = jax.lax.broadcasted_iota(
-            jnp.int32, (2 * k_pad, s), 0) < k_pad
-        col128 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 2 * dh), 1)
-
-        def pair_scales(ref, gi, p):
-            even = jnp.broadcast_to(ref[gi, 2 * p : 2 * p + 1, :],
-                                    (2 * k_pad, s))
-            odd = jnp.broadcast_to(ref[gi, 2 * p + 1 : 2 * p + 2, :],
-                                   (2 * k_pad, s))
-            return jnp.where(top_rows, even, odd)
-
-        def load_pair(ref, gi, c0):
-            if packed:
-                return unpack_int4_block(
-                    ref[gi, :, c0 : c0 + 2 * dh]).astype(jnp.bfloat16)
-            return ref[gi, :, c0 : c0 + 2 * dh].astype(jnp.bfloat16)
-
-        for gi in range(g):
-            qc = qc_all[gi * k_pad : (gi + 1) * k_pad]
-            for p in range(n_pairs):
-                c0 = p * 2 * dh
-                k_pair = load_pair(k_ref, gi, c0)
-                v_pair = load_pair(v_ref, gi, c0)
-                q_cols = qc[:, c0 : c0 + 2 * dh]              # (8, 128)
-                # block-diagonal (16, 128): rows 0..7 even head, 8..15 odd
-                q_pair = jnp.concatenate(
-                    [jnp.where(col128 < dh, q_cols, 0.0),
-                     jnp.where(col128 >= dh, q_cols, 0.0)], axis=0
-                ).astype(jnp.bfloat16)
-                raw = jax.lax.dot_general(
-                    q_pair, k_pair, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                             # (16, S)
-                scores = jnp.where(
-                    valid, raw * pair_scales(ks_ref, gi, p),
-                    np.finfo(np.float32).min)
-                probs = jax.nn.softmax(scores, axis=-1)
-                probs = (probs * pair_scales(vs_ref, gi, p)
-                         ).astype(jnp.bfloat16)
-                out_pair = jax.lax.dot_general(
-                    probs, v_pair, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                             # (16, 128)
-                # merged-head layout: cols 0:64 from the even-head rows,
-                # cols 64:128 from the odd-head rows (lane select)
-                merged = jnp.where(col128 < dh, out_pair[:k_pad],
-                                   out_pair[k_pad:])
-                cross_ref[gi, :, c0 : c0 + 2 * dh] = merged
+        _cross_pairs_loop(qc_all, k_ref, ks_ref, v_ref, vs_ref, cross_ref,
+                          g=g, k_pad=k_pad, s=s, s_real=s_real,
+                          n_pairs=n_pairs, dh=dh, packed=packed)
 
     const2 = lambda i: (0, 0)  # noqa: E731
 
@@ -268,3 +286,103 @@ def attnout_ln_q_cross_int8(x, attn, wo_q, wo_s, bo, lnc_s, lnc_b,
         interpret=interpret,
     )(x, attn, wo_q, wo_s2, bo2, lnc_s2, lnc_b2, wqc_q, wqc_s2, bqc2,
       ck8, cks, cv8, cvs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_int8_partial(x, wq, ws, *, interpret: bool = False):
+    """Row-parallel partial projection: ``(x @ W) * s`` with NO bias.
+
+    x: (R, DL) f32/bf16 — the shard's LOCAL input slice (e.g. local-head
+    attention output).  wq: (DL, M) int8 — the shard's ROW slice of the
+    weight.  ws: (1, M) f32 per-output-channel scales (full width; the
+    scale is linear in the partial sum, so each shard applies it).
+    Returns (R, M) f32; shards ``psum`` the results and add the bias
+    once (ttasr.parallel.tp v2: Wo / Wo_c / W2 split their rows over
+    the model axis so the per-chip weight stream shrinks with the mesh).
+    """
+    r, dl = x.shape
+    m = wq.shape[1]
+    ws2 = ws.reshape(1, m).astype(jnp.float32)
+
+    def kernel(x_ref, w_ref, s_ref, out_ref):
+        xv = x_ref[:].astype(jnp.bfloat16)
+        out = jnp.dot(xv, w_ref[:].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        out_ref[:] = out * s_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((r, m), jnp.float32),
+        interpret=interpret,
+    )(x, wq, ws2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s_real", "group", "interpret"))
+def ln_q_cross_int8(xo, lnc_s, lnc_b, wqc_q, wqc_s, bqc,
+                    ck8, cks, cv8, cvs, *, s_real: int, group: int = 1,
+                    interpret: bool = False):
+    """lnc + local cross-q + int8 cross-attention (TP-v2 counterpart of
+    :func:`attnout_ln_q_cross_int8`, minus the wo@attn front half).
+
+    xo: (B, K, D) f32 — the residual stream AFTER the row-parallel wo
+    psum (already includes the residual add and bias).  wqc_q/bqc: the
+    shard's column slice (DC = local heads * 64).  ck8/cv8/cks/cvs: the
+    shard's local-head cross-KV cache, same formats as
+    attnout_ln_q_cross_int8.  Returns cross (B, K, DC) f32 merged-head.
+    The attention math is byte-identical to the fused kernel's
+    (:func:`_cross_pairs_loop` is shared).
+    """
+    b, k_pad, d = xo.shape
+    packed = ck8.dtype == jnp.uint8
+    s_rows = ck8.shape[1]
+    s = 2 * s_rows if packed else s_rows
+    h = cks.shape[1]
+    dc = wqc_q.shape[-1]
+    dh = dc // h
+    assert dh == 64 and h % 2 == 0, "kernel assumes head_dim 64, even heads"
+    assert ck8.shape[-1] == dc and cv8.shape[-1] == dc, (ck8.shape, dc)
+    assert k_pad <= K_PAD and s % 8 == 0
+    if b % group != 0:
+        group = 1
+    g = group
+    n_pairs = h // 2
+    qscale = dh ** -0.5
+
+    lnc_s2 = lnc_s.reshape(1, d).astype(jnp.float32)
+    lnc_b2 = lnc_b.reshape(1, d).astype(jnp.float32)
+    wqc_s2 = wqc_s.reshape(1, dc).astype(jnp.float32)
+    bqc2 = bqc.reshape(1, dc).astype(jnp.float32)
+
+    def kernel(x_ref, ls_ref, lb_ref, wq_ref, wqs_ref, bq_ref,
+               k_ref, ks_ref, v_ref, vs_ref, cross_ref):
+        xn = x_ref[...].reshape(g * k_pad, d).astype(jnp.float32)
+        ln = _ln_f32(xn, ls_ref, lb_ref).astype(jnp.bfloat16)
+        qc_all = jnp.dot(ln, wq_ref[:].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        qc_all = (qc_all * wqs_ref[:] + bq_ref[:]) * qscale  # (gK, DC)
+        _cross_pairs_loop(qc_all, k_ref, ks_ref, v_ref, vs_ref, cross_ref,
+                          g=g, k_pad=k_pad, s=s, s_real=s_real,
+                          n_pairs=n_pairs, dh=dh, packed=packed)
+
+    const2 = lambda i: (0, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, k_pad, d), lambda i: (i, 0, 0)),   # xo
+            pl.BlockSpec((1, d), const2),                       # lnc_s
+            pl.BlockSpec((1, d), const2),                       # lnc_b
+            pl.BlockSpec((d, dc), const2),                      # wqc_q
+            pl.BlockSpec((1, dc), const2),                      # wqc_s
+            pl.BlockSpec((1, dc), const2),                      # bqc
+            pl.BlockSpec((g, s_rows, dc), lambda i: (i, 0, 0)),  # ck8
+            pl.BlockSpec((g, h, s), lambda i: (i, 0, 0)),       # cks
+            pl.BlockSpec((g, s_rows, dc), lambda i: (i, 0, 0)),  # cv8
+            pl.BlockSpec((g, h, s), lambda i: (i, 0, 0)),       # cvs
+        ],
+        out_specs=pl.BlockSpec((g, k_pad, dc), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, k_pad, dc), jnp.float32),
+        interpret=interpret,
+    )(xo, lnc_s2, lnc_b2, wqc_q, wqc_s2, bqc2, ck8, cks, cv8, cvs)

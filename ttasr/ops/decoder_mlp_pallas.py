@@ -60,15 +60,23 @@ def _pick_tile(d: int, ffn: int) -> int:
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("interpret", "tile"),
+    static_argnames=("interpret", "tile", "partial"),
 )
 def mlp_int8_fused(x, ln_s, ln_b, w1q, w1s, b1, w2q, w2s, b2, *,
-                   tile: int = 0, interpret: bool = False):
+                   tile: int = 0, interpret: bool = False,
+                   partial: bool = False):
     """x: (R, D) bf16/f32.  w1q: (D, F) int8, w1s: (1, F) f32, b1: (F,).
     w2q: (F, D) int8, w2s: (1, D) f32, b2: (D,).  Returns (R, D) x.dtype.
 
     R must be a multiple of 8 (pad rows outside; cheap vs the weight
     stream).
+
+    ``partial=True`` is the row-parallel (TP v2) form: w1/b1 carry the
+    shard's COLUMN slice of the hidden dim and w2 the matching ROW
+    slice; the kernel returns ONLY ``gelu(ln(x)@W1+b1) @ W2 * s2`` —
+    no residual, no b2 — as (R, D) f32 for the caller to ``psum`` and
+    add ``x + b2`` once (ttasr.parallel.tp).  ln(x) is computed from
+    the full replicated residual stream, so it needs no collective.
     """
     import jax
     import jax.numpy as jnp
@@ -103,16 +111,19 @@ def mlp_int8_fused(x, ln_s, ln_b, w1q, w1s, b1, w2q, w2s, b2, *,
         h = _gelu_exact(h).astype(jnp.bfloat16)
         # partial = h @ W2_tile (scale applies per output channel: linear
         # in the tile sum, so apply per program)
-        partial = jnp.dot(h, w2_ref[:].astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32) * w2s_ref[:]
+        tile_sum = jnp.dot(h, w2_ref[:].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) * w2s_ref[:]
 
         @pl.when(i == 0)
         def _():
-            out_ref[:] = xv + b2_ref[:] + partial
+            if partial:
+                out_ref[:] = tile_sum
+            else:
+                out_ref[:] = xv + b2_ref[:] + tile_sum
 
         @pl.when(i > 0)
         def _():
-            out_ref[:] = out_ref[:] + partial
+            out_ref[:] = out_ref[:] + tile_sum
 
     out = pl.pallas_call(
         kernel,
@@ -132,7 +143,7 @@ def mlp_int8_fused(x, ln_s, ln_b, w1q, w1s, b1, w2q, w2s, b2, *,
         out_shape=jax.ShapeDtypeStruct((r, d), jnp.float32),
         interpret=interpret,
     )(x, ln_s2, ln_b2, w1q, w1s, b1_2, w2q, w2s, b2_2)
-    return out.astype(x.dtype)
+    return out if partial else out.astype(x.dtype)
 
 
 @functools.partial(

@@ -16,10 +16,16 @@ per-shard inside ``shard_map``:
   attn-out / MLP weights, because the fused kernels fold wo@attn +
   residual + LayerNorm into one kernel — the collective must land at
   the head-merge boundary (see ``decode._tp_gather``).
-- wo / wo_c / MLP / unembed weights replicate over ``model`` in v1:
-  their per-step weight stream is small next to the caches, and
-  splitting them would require partial-sum variants of the fused
-  kernels (a later optimization, not a correctness gap).
+- **v2 (row-parallel, default when shapes divide)**: wo / wo_c / w2
+  ROW-split and w1/b1 column-split over ``model``, so the per-chip
+  weight stream also shrinks ~n x.  The fused kernels run partial-sum
+  variants (ops.decoder_blocks_pallas.matmul_int8_partial /
+  ln_q_cross_int8, ops.decoder_mlp_pallas.mlp_int8_fused(partial=True))
+  and the shards ``psum`` — 3 collectives/layer of (BK, D) f32 vs v1's
+  2 all_gathers of the same volume; tools/comms_accounting.py prices
+  the trade per mesh size.  The unembed stays replicated (top-k needs
+  the full vocab row anyway).  TTASR_TP_ROW_PARALLEL=0 forces v1
+  (replicated wo/MLP, attention-only sharding).
 
 Parity: the per-shard math is the single-chip kernel math on local
 heads; the gather restores head order exactly, so tokens match the
@@ -76,7 +82,23 @@ def _split_cols(leaf, n: int, part: int):
     return sl(leaf)
 
 
-def build_tp_decoder(params, n_shards: int) -> Tuple[Dict, Dict]:
+def _split_rows(leaf, n: int, part: int):
+    """Slice a row-split (input-dim) weight leaf for shard ``part``
+    (TP v2): only q's row axis (-2 — leaves are layer-stacked
+    (L, D_in, D_out)) splits; the per-OUTPUT-channel scales stay full
+    width (the scale is linear in the partial sum, each shard applies
+    it to its partial before the psum)."""
+    def sl(x):
+        width = x.shape[-2] // n
+        return x[..., part * width:(part + 1) * width, :]
+
+    if isinstance(leaf, dict):  # quantized {q, s}
+        return {"q": sl(leaf["q"]), "s": leaf["s"]}
+    return sl(leaf)
+
+
+def build_tp_decoder(params, n_shards: int,
+                     row_parallel: bool = False) -> Tuple[Dict, Dict]:
     """Per-shard fused decoder param tree, stacked on a leading axis.
 
     Input: QUANTIZED, UNFUSED params (ttasr.ops.quant.quantize_params
@@ -87,6 +109,11 @@ def build_tp_decoder(params, n_shards: int) -> Tuple[Dict, Dict]:
     shard the fused layout).  Returns (tree, stacked) where ``stacked``
     is a same-structure pytree of bools marking leaves with the leading
     shard axis (shard_map in_spec P("model") vs P()).
+
+    ``row_parallel`` (TP v2, VERDICT r4 #6a): additionally ROW-split
+    wo / wo_c / w2 (input dim) and column-split w1 / b1, so the per-chip
+    weight stream shrinks ~n_shards x; the decode path psums the partial
+    sums (DecodingOptions.tp_row_parallel must be set to match).
     """
     import jax.numpy as jnp
 
@@ -123,12 +150,19 @@ def build_tp_decoder(params, n_shards: int) -> Tuple[Dict, Dict]:
     new_blocks["bqkv"] = stack(bqkv_parts)
     stacked_blocks["bqkv"] = True
 
+    row_split = ("wo", "wo_c", "w2") if row_parallel else ()
+    col_extra = ("w1", "b1") if row_parallel else ()
     for key, leaf in blocks.items():
         if key in ("wq", "wk", "wv", "bq", "bv"):
             continue
-        if key in _COL_SPLIT_KEYS or key in _COL_BIAS_KEYS:
+        if key in _COL_SPLIT_KEYS or key in _COL_BIAS_KEYS or key in col_extra:
             new_blocks[key] = stack(
                 [_split_cols(leaf, n_shards, i) for i in range(n_shards)])
+            stacked_blocks[key] = (
+                {"q": True, "s": True} if isinstance(leaf, dict) else True)
+        elif key in row_split:
+            new_blocks[key] = stack(
+                [_split_rows(leaf, n_shards, i) for i in range(n_shards)])
             stacked_blocks[key] = (
                 {"q": True, "s": True} if isinstance(leaf, dict) else True)
         else:
@@ -180,8 +214,8 @@ _FN_CACHE: dict = {}
 
 
 def _get_decode_fn(mesh, cfg, opts, ti, stacked_key, stacked, *,
-                   beam: bool):
-    key = (id(mesh), cfg, opts, ti, stacked_key, beam)
+                   beam: bool, row_parallel: bool = False):
+    key = (id(mesh), cfg, opts, ti, stacked_key, beam, row_parallel)
     fn = _FN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -194,7 +228,8 @@ def _get_decode_fn(mesh, cfg, opts, ti, stacked_key, stacked, *,
 
     data_n = mesh.shape.get("data", 1)
     specs = _tp_specs(stacked)
-    tp_opts = dataclasses.replace(opts, tp_axis="model")
+    tp_opts = dataclasses.replace(opts, tp_axis="model",
+                                  tp_row_parallel=row_parallel)
     out_spec = {k: P("data") for k in
                 ("tokens", "lengths", "sum_logprob", "no_speech_prob")}
 
@@ -256,9 +291,23 @@ class TPDecoder:
     decode.beam_decode / decode.greedy_decode minus params.
     """
 
-    def __init__(self, params_quantized, cfg, mesh):
+    def __init__(self, params_quantized, cfg, mesh,
+                 row_parallel: Optional[bool] = None):
+        import os
+
         n = mesh.shape["model"]
-        tree, stacked = build_tp_decoder(params_quantized, n)
+        if row_parallel is None:
+            # TP v2 by default when the shapes divide: the wo/wo_c/MLP
+            # weight stream then splits over the model axis instead of
+            # replicating (VERDICT r4 #6a).  TTASR_TP_ROW_PARALLEL=0
+            # forces the v1 replicated-weight path.
+            env = os.environ.get("TTASR_TP_ROW_PARALLEL", "1")
+            row_parallel = (env.lower() not in ("0", "false", "no")
+                            and n > 1 and cfg.ffn_dim % n == 0
+                            and cfg.d_model % n == 0)
+        self.row_parallel = bool(row_parallel)
+        tree, stacked = build_tp_decoder(params_quantized, n,
+                                         row_parallel=self.row_parallel)
         self.params = place_tp_params(tree, stacked, mesh)
         self.stacked = stacked
         # hashable cache key for the stacked structure (the pytree of
@@ -269,7 +318,8 @@ class TPDecoder:
 
     def beam(self, enc_out, prompt, pad_len, rng, *, opts, ti):
         fn = _get_decode_fn(self.mesh, self.cfg, opts, ti,
-                            self.stacked_key, self.stacked, beam=True)
+                            self.stacked_key, self.stacked, beam=True,
+                            row_parallel=self.row_parallel)
         return fn(self.params, enc_out, np.asarray(prompt),
                   np.asarray(pad_len), rng)
 
@@ -278,7 +328,8 @@ class TPDecoder:
         import jax.numpy as jnp
 
         fn = _get_decode_fn(self.mesh, self.cfg, opts, ti,
-                            self.stacked_key, self.stacked, beam=False)
+                            self.stacked_key, self.stacked, beam=False,
+                            row_parallel=self.row_parallel)
         b = enc_out.shape[0]
         temp = jnp.broadcast_to(
             jnp.asarray(temperature, jnp.float32), (b,))
