@@ -30,7 +30,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
               compute: str, repeats: int = 3, kv_int8: bool = True,
               cross_kv_int8: bool = False, cross_kv_int4: bool = False,
-              encoder_act_int8: bool = True) -> dict:
+              kv_int4: bool = True, encoder_act_int8: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +68,8 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
     opts = DecodingOptions(beam_size=beam, sample_len=decode_tokens,
                            without_timestamps=False, kv_int8=kv_int8,
                            cross_kv_int8=cross_kv_int8,
-                           cross_kv_int4=cross_kv_int4)
+                           cross_kv_int4=cross_kv_int4,
+                           kv_int4=kv_int4 and kv_int8)
 
     rng = np.random.default_rng(0)
     # int16 PCM end-to-end: audio is natively int16, and uploading f32
@@ -180,6 +181,13 @@ def main() -> None:
                              "PERF_NOTES.md)")
     parser.add_argument("--no-cross-kv-int4", dest="cross_kv_int4",
                         action="store_false")
+    parser.add_argument("--self-kv-int4", dest="kv_int4",
+                        action="store_true", default=True,
+                        help="int4 lane-packed self-KV cache (default on; "
+                             "fused flat-kernel path only — VERDICT r4 #2, "
+                             "A/B in PERF_NOTES round 5)")
+    parser.add_argument("--no-self-kv-int4", dest="kv_int4",
+                        action="store_false")
     parser.add_argument("--no-encoder-act-int8", dest="encoder_act_int8",
                         action="store_false", default=True,
                         help="disable s8xs8 encoder block matmuls "
@@ -193,6 +201,7 @@ def main() -> None:
     stats = run_bench(args.model, args.batch, args.decode_tokens, args.beam,
                       args.compute, args.repeats, kv_int8=not args.no_kv_int8,
                       cross_kv_int8=cross, cross_kv_int4=args.cross_kv_int4,
+                      kv_int4=args.kv_int4,
                       encoder_act_int8=args.encoder_act_int8)
     baseline_rtf = 0.1  # reference GPU RTF (README.md:106)
     print(json.dumps({

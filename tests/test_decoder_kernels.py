@@ -779,3 +779,273 @@ def test_attnout_cross_grouped_matches_ungrouped():
                                              group=grp, interpret=True)
         np.testing.assert_array_equal(np.asarray(xo_g), np.asarray(xo1))
         np.testing.assert_array_equal(np.asarray(cr_g), np.asarray(cr1))
+
+
+# ---------------------------------------------------------------------------
+# int4 lane-packed self-KV (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+def _int4_self_fixture(seed=7, b=2, k_rows=3, h=2, dh=64, s_len=16, slot=10):
+    """Shared int4 self-KV kernel fixture: an int4-quantized cache
+    (lane-packed), kernel-layout scales, fused qkv rows, pads."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.int4 import pack_int4_lanes, quantize_kv4
+
+    rng = np.random.default_rng(seed)
+    d = h * dh
+    bk = b * k_rows
+    hp = 8
+    pad = np.array([[0, 2, 0], [1, 0, 3]], np.int32)[:b, :k_rows]
+
+    qkv = (rng.standard_normal((b, k_rows, 3 * d)) * 0.5).astype(np.float32)
+    cache_kv = (rng.standard_normal((2, bk, s_len, h, dh)) * 0.5
+                ).astype(np.float32)
+    k4c, ksc = quantize_kv4(jnp.asarray(cache_kv[0]))
+    v4c, vsc = quantize_kv4(jnp.asarray(cache_kv[1]))
+    zero = (np.arange(s_len) >= slot)[None, :, None, None]
+    k4c = jnp.where(zero, 0, k4c)
+    v4c = jnp.where(zero, 0, v4c)
+    ksc = jnp.where(zero[..., 0], 0, ksc)
+    vsc = jnp.where(zero[..., 0], 0, vsc)
+    kp = pack_int4_lanes(jnp.asarray(k4c).reshape(bk, s_len, d))
+    vp = pack_int4_lanes(jnp.asarray(v4c).reshape(bk, s_len, d))
+
+    def to_kernel_scales(sc):
+        t = jnp.swapaxes(jnp.asarray(sc), 1, 2)          # (BK, H, S)
+        t = jnp.pad(t, ((0, 0), (0, hp - h), (0, 0)))
+        return t.reshape(b, k_rows, hp, s_len)
+
+    return dict(rng=rng, b=b, k_rows=k_rows, h=h, dh=dh, d=d, bk=bk, hp=hp,
+                s_len=s_len, slot=slot, pad=pad, qkv=qkv,
+                k4c=k4c, v4c=v4c, ksc=ksc, vsc=vsc,
+                kp=kp.reshape(b, k_rows, s_len, d // 2),
+                vp=vp.reshape(b, k_rows, s_len, d // 2),
+                ks_k=to_kernel_scales(ksc), vs_k=to_kernel_scales(vsc))
+
+
+def test_self_attn_step_int4_matches_unpacked_reference():
+    """self_attn_step_int8(int4=True) over the lane-packed cache ==
+    the unfused 5-D reference attending over the UNPACKED int4 values
+    with int4 scales (same dequantized tensor), with the new entry
+    quantized at the +/-7 range.  New-row outputs must pack EXACTLY."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import _quant_self_attention
+    from ttasr.ops.int4 import pack_int4_lanes, quantize_kv4
+    from ttasr.ops.self_attention_pallas import self_attn_step_int8
+
+    f = _int4_self_fixture()
+    b, k_rows, h, dh, d, bk = (f[k] for k in
+                               ("b", "k_rows", "h", "dh", "d", "bk"))
+    s_len, slot = f["s_len"], f["slot"]
+
+    # reference: quantize new rows at int4 range, update the UNPACKED
+    # cache, attend via the generic quantized-attention helper
+    qkv_flat = f["qkv"].reshape(bk, 1, 3 * d)
+    q = jnp.asarray(qkv_flat[:, :, :d]).reshape(bk, 1, h, dh)
+    k_new = jnp.asarray(qkv_flat[:, :, d:2 * d]).reshape(bk, 1, h, dh)
+    v_new = jnp.asarray(qkv_flat[:, :, 2 * d:]).reshape(bk, 1, h, dh)
+    k4n, ksn = quantize_kv4(k_new)
+    v4n, vsn = quantize_kv4(v_new)
+    k4u = jax.lax.dynamic_update_slice_in_dim(f["k4c"], k4n, slot, axis=1)
+    v4u = jax.lax.dynamic_update_slice_in_dim(f["v4c"], v4n, slot, axis=1)
+    ksu = jax.lax.dynamic_update_slice_in_dim(f["ksc"], ksn, slot, axis=1)
+    vsu = jax.lax.dynamic_update_slice_in_dim(f["vsc"], vsn, slot, axis=1)
+    kid = np.arange(s_len)[None, :]
+    mask = jnp.asarray(
+        (kid <= slot) & (kid >= f["pad"].reshape(bk)[:, None])
+    )[:, None, None]
+    want = np.asarray(_quant_self_attention(
+        q.astype(jnp.bfloat16), k4u, ksu, v4u, vsu, mask
+    )).reshape(b, k_rows, d)
+
+    got = self_attn_step_int8(
+        jnp.asarray(f["qkv"]), f["kp"], f["ks_k"], f["vp"], f["vs_k"],
+        jnp.asarray(f["pad"]), jnp.asarray(slot, jnp.int32),
+        n_heads=h, int4=True, interpret=True,
+    )
+    attn, k4_out, ks_out, v4_out, vs_out = [np.asarray(x) for x in got]
+
+    assert k4_out.dtype == np.uint8 and k4_out.shape == (b, k_rows, d // 2)
+    np.testing.assert_array_equal(
+        k4_out.reshape(bk, d // 2),
+        np.asarray(pack_int4_lanes(jnp.asarray(k4n).reshape(bk, d))))
+    np.testing.assert_array_equal(
+        v4_out.reshape(bk, d // 2),
+        np.asarray(pack_int4_lanes(jnp.asarray(v4n).reshape(bk, d))))
+    np.testing.assert_allclose(
+        ks_out.reshape(bk, 1, h), np.asarray(ksn), rtol=1e-6)
+    np.testing.assert_allclose(
+        vs_out.reshape(bk, 1, h), np.asarray(vsn), rtol=1e-6)
+    rel = np.abs(attn - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+
+
+def test_self_attn_step_int4_pad_junk_invariant():
+    """Junk nibbles in masked cache positions (pad slots and slots >=
+    slot) must never reach the int4 kernel's attention output — direct
+    and ancestry-indirect variants (mirrors
+    test_cross_attn_quantized_masks_pad_slots for the self cache)."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.self_attention_pallas import (
+        self_attn_step_indirect_int8,
+        self_attn_step_int8,
+    )
+
+    f = _int4_self_fixture()
+    b, k_rows, h = f["b"], f["k_rows"], f["h"]
+    s_len, slot = f["s_len"], f["slot"]
+    rng = np.random.default_rng(99)
+    # audio-uniform pads: all beam rows of one audio share the prompt
+    # (and so its pad) — the production invariant the ancestry map
+    # relies on (a random anc may read ANOTHER row's cache at t, which
+    # is only junk-free when pads match across the audio's rows)
+    f["pad"] = np.repeat(np.array([[2], [1]], np.int32)[:b], k_rows, axis=1)
+
+    # junk every masked position: slots >= slot (incl. the not-yet-
+    # written current slot) and per-row pad prefixes
+    def junk(packed):
+        arr = np.asarray(packed).copy()
+        j = rng.integers(0, 256, arr.shape, dtype=np.uint16).astype(np.uint8)
+        m = np.zeros(arr.shape, bool)
+        m[:, :, slot:, :] = True
+        for bi in range(b):
+            for kj in range(k_rows):
+                m[bi, kj, : f["pad"][bi, kj], :] = True
+        arr[m] = j[m]
+        return jnp.asarray(arr)
+
+    anc = jnp.asarray(
+        rng.integers(0, k_rows, (b, k_rows, s_len)).astype(np.int32))
+    base_args = (jnp.asarray(f["qkv"]),)
+    tail = (jnp.asarray(f["pad"]), jnp.asarray(slot, jnp.int32))
+
+    clean = self_attn_step_int8(
+        *base_args, f["kp"], f["ks_k"], f["vp"], f["vs_k"], *tail,
+        n_heads=h, int4=True, interpret=True)
+    junked = self_attn_step_int8(
+        *base_args, junk(f["kp"]), f["ks_k"], junk(f["vp"]), f["vs_k"],
+        *tail, n_heads=h, int4=True, interpret=True)
+    for a, bb in zip(clean, junked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    clean_i = self_attn_step_indirect_int8(
+        *base_args, f["kp"], f["ks_k"], f["vp"], f["vs_k"], anc, *tail,
+        n_heads=h, int4=True, interpret=True)
+    junked_i = self_attn_step_indirect_int8(
+        *base_args, junk(f["kp"]), f["ks_k"], junk(f["vp"]), f["vs_k"],
+        anc, *tail, n_heads=h, int4=True, interpret=True)
+    for a, bb in zip(clean_i, junked_i):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_self_attn_indirect_int4_matches_gathered():
+    """int4 ancestry-indirect kernel over an un-reordered packed cache
+    == int4 direct kernel over the position-wise gathered packed cache
+    (mirror of test_self_attn_indirect_kernel_matches_gathered)."""
+    import jax.numpy as jnp
+
+    from ttasr.ops.self_attention_pallas import (
+        self_attn_step_indirect_int8,
+        self_attn_step_int8,
+    )
+
+    f = _int4_self_fixture(seed=13)
+    b, k_rows, h = f["b"], f["k_rows"], f["h"]
+    s_len, slot = f["s_len"], f["slot"]
+    rng = np.random.default_rng(17)
+    anc = rng.integers(0, k_rows, (b, k_rows, s_len)).astype(np.int32)
+
+    def gather(arr4):  # (B, K, S, cols): row from anc per (audio, beam, t)
+        arr = np.asarray(arr4)
+        out = np.empty_like(arr)
+        for bi in range(b):
+            for j in range(k_rows):
+                for t in range(s_len):
+                    out[bi, j, t] = arr[bi, anc[bi, j, t], t]
+        return jnp.asarray(out)
+
+    def gather_scales(sc):  # (BK, S, H) raw scales -> gathered kernel layout
+        arr = np.asarray(sc).reshape(b, k_rows, s_len, h)
+        out = np.empty_like(arr)
+        for bi in range(b):
+            for j in range(k_rows):
+                for t in range(s_len):
+                    out[bi, j, t] = arr[bi, anc[bi, j, t], t]
+        t_ = jnp.swapaxes(jnp.asarray(out.reshape(b * k_rows, s_len, h)),
+                          1, 2)                          # (BK, H, S)
+        t_ = jnp.pad(t_, ((0, 0), (0, f["hp"] - h), (0, 0)))
+        return t_.reshape(b, k_rows, f["hp"], s_len)
+
+    tail = (jnp.asarray(f["pad"]), jnp.asarray(slot, jnp.int32))
+    want = self_attn_step_int8(
+        jnp.asarray(f["qkv"]), gather(f["kp"]), gather_scales(f["ksc"]),
+        gather(f["vp"]), gather_scales(f["vsc"]), *tail,
+        n_heads=h, int4=True, interpret=True)
+    got = self_attn_step_indirect_int8(
+        jnp.asarray(f["qkv"]), f["kp"], f["ks_k"], f["vp"], f["vs_k"],
+        jnp.asarray(anc), *tail, n_heads=h, int4=True, interpret=True)
+    attn_w, attn_g = np.asarray(want[0]), np.asarray(got[0])
+    rel = np.abs(attn_g - attn_w).max() / (np.abs(attn_w).max() + 1e-9)
+    assert rel < 1e-4, rel
+    for i in (1, 2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(want[i]), np.asarray(got[i]))
+
+
+def test_self_kv_int4_decode_bucket_consistency():
+    """End-to-end greedy + beam decode with the int4 lane-packed self-KV
+    cache: tokens must be IDENTICAL across growth-bucket schedules
+    (min_cap 32 vs one flat bucket) — exercising the int4 prefill
+    packing, both kernels (direct + ancestry-indirect), and
+    _pad_cache_to growth over packed caches."""
+    import jax
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.config import WhisperConfig
+    from ttasr.models.whisper.decode import (
+        DecodingOptions,
+        TokenizerInfo,
+        beam_decode,
+        greedy_decode,
+        pad_prompts,
+    )
+    from ttasr.models.whisper.model import encode, init_params
+    from ttasr.ops.mel import log_mel_spectrogram
+    from ttasr.ops.quant import fuse_qkv, quantize_params
+    from ttasr.text.tokenizer import build_byte_fallback_tokenizer
+
+    tok = build_byte_fallback_tokenizer()
+    cfg = WhisperConfig(
+        name="micro64", vocab_size=tok.vocab_size, num_mel_bins=80,
+        d_model=128, encoder_layers=1, encoder_heads=2,
+        decoder_layers=2, decoder_heads=2, ffn_dim=256,
+    )
+    fparams = fuse_qkv(quantize_params(init_params(cfg, seed=0)))
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 48000)).astype(np.float32) * 0.1
+    mel = log_mel_spectrogram(audio, n_mels=80)
+    ti = TokenizerInfo.from_tokenizer(tok, n_vocab=cfg.vocab_size)
+    prompt, pad = pad_prompts(
+        [tok.sot_sequence("zh", predict_timestamps=True)] * 2, tok.eot)
+    key = jax.random.PRNGKey(0)
+    enc_f = encode(fparams, cfg, mel)
+
+    for decode_fn, beam in [(greedy_decode, 1), (beam_decode, 3)]:
+        outs = []
+        for min_cap in (32, 64):  # 64 > sample_len 40 -> multi vs fewer
+            o = DecodingOptions(beam_size=beam, sample_len=40,
+                                kv_int8=True, cross_kv_int8=True,
+                                kv_int4=True, growth_min_cap=min_cap)
+            out = decode_fn(fparams, cfg, enc_f, prompt, pad, key,
+                            opts=o, ti=ti)
+            outs.append((np.asarray(out["tokens"]),
+                         np.asarray(out["lengths"])))
+        (t0, l0), (t1, l1) = outs
+        np.testing.assert_array_equal(l0, l1)
+        for i in range(2):
+            n = int(l0[i])
+            assert list(t0[i, :n]) == list(t1[i, :n]), (beam, i)

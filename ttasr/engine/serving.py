@@ -210,12 +210,17 @@ class BatchServer:
             beam_size=beam_size, sample_len=sample_len,
             without_timestamps=without_timestamps,
             kv_int8=kv_int8,
-            # mirror transcriber._decode_window: int8 engines quantize
-            # the cross-KV too, so the batch path shares the SAME
+            # mirror transcriber._decode_window EXACTLY — including the
+            # int4 cache sub-modes — so the batch path shares the SAME
             # compiled program as every other decode path (a second
-            # variant costs 2x cross-KV HBM and a 20 s-5 min compile)
+            # variant costs 2x cache HBM per step and a 20 s-5 min
+            # compile; round 5 found the int4 flags missing here, i.e.
+            # the serving path was silently decoding int8-cross)
             cross_kv_int8=kv_int8 and getattr(
                 engine, "compute_type", "") == "int8",
+            cross_kv_int4=kv_int8 and getattr(
+                engine, "cross_kv_int4", False),
+            kv_int4=kv_int8 and getattr(engine, "kv_int4", False),
         )
         self._queue: "asyncio.Queue[WindowRequest]" = None
         self._worker_task = None

@@ -180,6 +180,7 @@ class WhisperEngine:
                  config: Optional[WhisperConfig] = None,
                  mesh: Optional[Any] = None,
                  cross_kv_int4: bool = True,
+                 kv_int4: bool = True,
                  encoder_act_int8: bool = True):
         import jax.numpy as jnp
 
@@ -200,6 +201,12 @@ class WhisperEngine:
         # recognition-level divergence vs the unfused int8 path measured
         # exact (tools/check_beam_divergence.py --cross-int4, PERF_NOTES)
         self.cross_kv_int4 = cross_kv_int4 and self.kv_cache_int8
+        # int4 LANE-packed self-KV (default on): the batch-48 profile
+        # converts cache bytes ~1:1 into step time and the int8 self-KV
+        # is its largest term (VERDICT r4 #2); falls back to int8
+        # automatically off the fused flat-kernel path (decode.
+        # _use_self_int4).  A/B in PERF_NOTES round 5.
+        self.kv_int4 = kv_int4 and self.kv_cache_int8
         self._tp = None
         if compute_type == "int8":
             from ttasr.ops.quant import fuse_qkv, quantize_params
@@ -338,6 +345,7 @@ class WhisperEngine:
             # speed to bf16 end-to-end and half the cross-cache HBM
             cross_kv_int8=kv_int8 and self.compute_type == "int8",
             cross_kv_int4=self.cross_kv_int4 and kv_int8,
+            kv_int4=self.kv_int4 and kv_int8,
         )
         if temperature == 0.0 and opts.beam_size > 1:
             out = self.run_beam_decode(enc_out, prompt, pad, rng,
@@ -530,6 +538,7 @@ class WhisperEngine:
             # speed to bf16 end-to-end and half the cross-cache HBM
             cross_kv_int8=kv_int8 and self.compute_type == "int8",
             cross_kv_int4=self.cross_kv_int4 and kv_int8,
+            kv_int4=self.kv_int4 and kv_int8,
         )
         last = None
         for temperature in opts.temperatures:

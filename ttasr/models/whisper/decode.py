@@ -89,6 +89,13 @@ class DecodingOptions:
     # Quantization error is bounded by tools/check_beam_divergence.py
     # --cross-int4, not assumed.
     cross_kv_int4: bool = False
+    # int4 LANE-packed self-KV cache (fused flat-kernel path only): the
+    # batch-48 profile converts cache bytes ~1:1 into step time and the
+    # int8 self-KV is its largest term (2.84 GB/step, 5x beam-
+    # replicated) — packing along D within-row halves it while the
+    # per-step single-slot write stays a pure write (VERDICT r4 #2).
+    # A sub-mode of kv_int8, like cross_kv_int4 of cross_kv_int8.
+    kv_int4: bool = False
     # A/B control: run the two-stage rules + log_softmax path instead of
     # _apply_rules_logprobs.  Part of the jit cache key (opts is static);
     # the beam_decode/greedy_decode wrappers set it from
@@ -106,6 +113,13 @@ class DecodingOptions:
     # psum over tp_axis (3 collectives/layer) instead of gathering the
     # attention outputs (2/layer).  Requires matching v2 params.
     tp_row_parallel: bool = False
+    # Smallest new-token capacity in the cache growth schedule.  Each
+    # bucket compiles its OWN while_loop body (the full fused kernel
+    # stack at that cache length), so bucket count trades cold-compile
+    # time against the triangular cache-read saving: min_cap 32 ->
+    # buckets 32/64/128 (3 compiles), 64 -> 64/128 (2), 128 -> one flat
+    # loop.  tools/compile_breakdown.py measures both sides.
+    growth_min_cap: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -232,6 +246,7 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
     quantized = cache.quantized
     cross_quantized = cache.cross_quantized
     flat = cache.flat
+    self_int4 = cache.self_int4
 
     def scan_block(x, scanned):
         if quantized and cross_quantized:
@@ -245,9 +260,18 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
         h = _ln(x, blk["ln1_s"], blk["ln1_b"])
         q, k_new, v_new = _qkv_proj(h, blk, cfg)
         if quantized and flat:
-            # flat int8 layout: k/v (BK, len, D), scales (BK, HP, len)
-            k8, k_scale = quantize_kv(k_new)
-            v8, v_scale = quantize_kv(v_new)
+            # flat int8 layout: k/v (BK, len, D), scales (BK, HP, len);
+            # int4 mode packs the merged rows along D (pure-write slots)
+            if self_int4:
+                from ttasr.ops.int4 import pack_int4_lanes, quantize_kv4
+
+                k8, k_scale = quantize_kv4(k_new)
+                v8, v_scale = quantize_kv4(v_new)
+                store = lambda t: pack_int4_lanes(_merge_heads(t))  # noqa: E731
+            else:
+                k8, k_scale = quantize_kv(k_new)
+                v8, v_scale = quantize_kv(v_new)
+                store = _merge_heads
             hp = ks_cache.shape[1]
             n_h = k_scale.shape[-1]
 
@@ -256,9 +280,9 @@ def _prefill(params, cfg: WhisperConfig, tokens, pad_len, cache: DecodeCache,
                 return jnp.pad(s, ((0, 0), (0, hp - n_h), (0, 0)))
 
             k_cache = jax.lax.dynamic_update_slice_in_dim(
-                k_cache, _merge_heads(k8), 0, axis=1)
+                k_cache, store(k8), 0, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(
-                v_cache, _merge_heads(v8), 0, axis=1)
+                v_cache, store(v8), 0, axis=1)
             ks_cache = jax.lax.dynamic_update_slice_in_dim(
                 ks_cache, sc_t(k_scale), 0, axis=2)
             vs_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -407,26 +431,28 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
             d = h * dh  # local width (== cfg.d_model on one chip)
             hp = ks_cache.shape[1]
             cache_len = k_cache.shape[1]
+            d_store = k_cache.shape[-1]  # D, or D/2 int4 lane-packed
+            self_int4 = d_store != d
             if anc is not None:
                 attn_g, k8n, ksn, v8n, vsn = self_attn_step_indirect_int8(
                     qkv.reshape(b_audio, group, 3 * d),
-                    k_cache.reshape(b_audio, group, cache_len, d),
+                    k_cache.reshape(b_audio, group, cache_len, d_store),
                     ks_cache.reshape(b_audio, group, hp, cache_len),
-                    v_cache.reshape(b_audio, group, cache_len, d),
+                    v_cache.reshape(b_audio, group, cache_len, d_store),
                     vs_cache.reshape(b_audio, group, hp, cache_len),
                     anc.reshape(b_audio, group, cache_len),
                     pad_len.reshape(b_audio, group), slot,
-                    n_heads=h, interpret=interp,
+                    n_heads=h, int4=self_int4, interpret=interp,
                 )
             else:
                 attn_g, k8n, ksn, v8n, vsn = self_attn_step_int8(
                     qkv.reshape(b_audio, group, 3 * d),
-                    k_cache.reshape(b_audio, group, cache_len, d),
+                    k_cache.reshape(b_audio, group, cache_len, d_store),
                     ks_cache.reshape(b_audio, group, hp, cache_len),
-                    v_cache.reshape(b_audio, group, cache_len, d),
+                    v_cache.reshape(b_audio, group, cache_len, d_store),
                     vs_cache.reshape(b_audio, group, hp, cache_len),
                     pad_len.reshape(b_audio, group), slot,
-                    n_heads=h, interpret=interp,
+                    n_heads=h, int4=self_int4, interpret=interp,
                 )
             attn2 = attn_g.reshape(bk, d)
 
@@ -439,7 +465,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
             # every step (~1 GB/step of pass-through writes).  The new
             # rows are tiny — stack them as ys and write all layers
             # with ONE dynamic_update_slice per tensor after the scan.
-            new_rows = (k8n.reshape(bk, d), v8n.reshape(bk, d),
+            new_rows = (k8n.reshape(bk, d_store), v8n.reshape(bk, d_store),
                         sc_pad(ksn), sc_pad(vsn))
         else:
             q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -860,13 +886,29 @@ def _use_cross_int4(params, cfg: WhisperConfig, opts: DecodingOptions) -> bool:
             and cfg.decoder_heads % 2 == 0)
 
 
-def _growth_buckets(max_prompt: int, sample_len: int):
+def _use_self_int4(params, cfg: WhisperConfig, opts: DecodingOptions) -> bool:
+    """int4 lane-packed self-KV: flat fused-kernel path only (the packed
+    cache unpacks in-VMEM inside the self-attention kernels), even head
+    count (the D/2 column split must land on a head boundary), and a
+    sub-mode of kv_int8 so disabling the quantized cache disables this
+    too.  Head-count parity is checked on the LOCAL width under tensor
+    parallelism (init_cache sizes to the shard)."""
+    return (opts.kv_int4
+            and opts.kv_int8
+            and _use_flat_kv(params, cfg, opts)
+            and cfg.decoder_heads % 2 == 0)
+
+
+def _growth_buckets(max_prompt: int, sample_len: int, min_cap: int = 32):
     """Static cache-length schedule: the per-step beam gather and
     self-attention read cost track the CURRENT cache length, so decoding
     in growing buckets (32/64/128/... new-token capacity) pays the
-    triangular cost instead of the rectangular one (PERF_NOTES.md)."""
+    triangular cost instead of the rectangular one (PERF_NOTES.md).
+    ``min_cap`` sets the first bucket (DecodingOptions.growth_min_cap):
+    every bucket is a separately compiled while_loop body, so fewer
+    buckets = faster cold compile at a bounded extra read cost."""
     buckets = []
-    cap = 32
+    cap = max(min_cap, 1)
     while cap < sample_len:
         buckets.append(max_prompt + cap)
         cap *= 2
@@ -964,13 +1006,15 @@ def _greedy_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
         temperature = jnp.asarray(temperature, jnp.float32)
     temperature = jnp.broadcast_to(temperature, (b,))
     max_prompt = prompt.shape[1]
-    buckets = _growth_buckets(max_prompt, opts.sample_len)
+    buckets = _growth_buckets(max_prompt, opts.sample_len,
+                               opts.growth_min_cap)
     cache = init_cache(params, cfg, enc_out,
                        max_len=buckets[0],
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
-                       flat_kv=_use_flat_kv(params, cfg, opts))
+                       flat_kv=_use_flat_kv(params, cfg, opts),
+                       kv_int4=_use_self_int4(params, cfg, opts))
     hidden, cache = _prefill(params, cfg, prompt, pad_len, cache,
                              tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
                              tp_row_parallel=opts.tp_row_parallel)
@@ -1155,7 +1199,8 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
     pad_rep = jnp.repeat(pad_len, k, axis=0)
 
     max_prompt = prompt.shape[1]
-    buckets = _growth_buckets(max_prompt, opts.sample_len)
+    buckets = _growth_buckets(max_prompt, opts.sample_len,
+                               opts.growth_min_cap)
     flat_kv = _use_flat_kv(params, cfg, opts)
     # Ancestry indirection: beams never physically reorder the flat
     # caches; a (BK, len) map of group-relative source rows is permuted
@@ -1172,7 +1217,8 @@ def _beam_decode(params, cfg: WhisperConfig, enc_out, prompt, pad_len, rng,
                        kv_int8=opts.kv_int8,
                        cross_kv_int8=opts.cross_kv_int8,
                        cross_kv_int4=_use_cross_int4(params, cfg, opts),
-                       flat_kv=flat_kv)
+                       flat_kv=flat_kv,
+                       kv_int4=_use_self_int4(params, cfg, opts))
     hidden_b, cache = _prefill(params, cfg, prompt, pad_len, cache,
                                tp_axis=opts.tp_axis, s_real=enc_out.shape[1],
                              tp_row_parallel=opts.tp_row_parallel)

@@ -390,12 +390,20 @@ class DecodeCache:
     def quantized(self) -> bool:
         import jax.numpy as _jnp
 
-        return self.k.dtype == _jnp.int8
+        # int8, or uint8 = int4 lane-packed (ttasr/ops/int4.py)
+        return self.k.dtype in (_jnp.int8, _jnp.uint8)
 
     @property
     def flat(self) -> bool:
         """Flat (L, BK, len, D) int8 self-KV layout (fused kernel)."""
         return self.k.ndim == 4
+
+    @property
+    def self_int4(self) -> bool:
+        """int4 lane-packed flat self-KV: (L, BK, len, D/2) uint8."""
+        import jax.numpy as _jnp
+
+        return self.k.dtype == _jnp.uint8
 
     @property
     def cross_quantized(self) -> bool:
@@ -425,7 +433,7 @@ def quantize_kv(x):
 def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
                beam_expand: int = 1, kv_int8: bool = False,
                cross_kv_int8: bool = False, cross_kv_int4: bool = False,
-               flat_kv: bool = False) -> DecodeCache:
+               flat_kv: bool = False, kv_int4: bool = False) -> DecodeCache:
     """Allocate self-attn cache and precompute cross-attn K/V per layer.
 
     Cross K/V stay at the audio batch size B even when decoding B*K beam
@@ -515,11 +523,22 @@ def init_cache(params: Params, cfg: WhisperConfig, enc_out, max_len: int,
         if flat_kv:
             bk = b * beam_expand
             hp = ((h + 7) // 8) * 8
-            kv_shape = (cfg.decoder_layers, bk, max_len, h * dh)
+            d_store = h * dh
+            kv_dtype = jnp.int8
+            if kv_int4 and h % 2 == 0:
+                # int4 lane-packed self-KV (ttasr/ops/int4.py
+                # pack_int4_lanes): (len, D/2) uint8 — halves the
+                # dominant per-step self-cache HBM stream again.  The
+                # D/2 column split must land on a head boundary, so an
+                # odd LOCAL head count (e.g. a TP shard of an odd
+                # divisor) silently falls back to int8.
+                d_store //= 2
+                kv_dtype = jnp.uint8
+            kv_shape = (cfg.decoder_layers, bk, max_len, d_store)
             sc_shape = (cfg.decoder_layers, bk, hp, max_len)
             return DecodeCache(
-                k=jnp.zeros(kv_shape, jnp.int8),
-                v=jnp.zeros(kv_shape, jnp.int8),
+                k=jnp.zeros(kv_shape, kv_dtype),
+                v=jnp.zeros(kv_shape, kv_dtype),
                 cross_k=ck, cross_v=cv,
                 ks=jnp.zeros(sc_shape, jnp.float32),
                 vs=jnp.zeros(sc_shape, jnp.float32),

@@ -69,6 +69,30 @@ def unpack_int4(packed, dtype=jnp.int8):
     return jnp.concatenate([lo, hi], axis=-2).astype(dtype)
 
 
+def pack_int4_lanes(q):
+    """(.., D) int8 in [-8, 7], D % 2 == 0 -> (.., D/2) uint8.
+
+    LANE-axis packing for the SELF-KV cache: byte ``[.., c]`` = column
+    ``c`` (low nibble) | column ``c + D/2`` << 4.  Within-row packing
+    keeps every cache slot's bytes disjoint, so the per-step
+    single-position write stays a pure write (no read-modify-write) —
+    and the kernels never need a lane concatenate: they split the D
+    contraction into two D/2 halves and sum (scores) or write the two
+    output halves separately (values)."""
+    d = q.shape[-1]
+    assert d % 2 == 0, "pack_int4_lanes needs an even column count"
+    half = d // 2
+    lo = q[..., :half].astype(jnp.uint8) & 0xF
+    hi = q[..., half:].astype(jnp.uint8) & 0xF
+    return lo | (hi << 4)
+
+
+def unpack_int4_lanes(packed, dtype=jnp.int8):
+    """(.., D/2) uint8 -> (.., D) signed values (column order)."""
+    lo, hi = _nibble_decode(packed)
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
 def unpack_int4_block(block_u8):
     """In-kernel unpack of a 2-D (S/2, cols) uint8 VMEM block.
 

@@ -37,12 +37,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ttasr.ops.int4 import _nibble_decode
+
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "int4", "interpret"))
 def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
-                        n_heads: int, interpret: bool = False):
+                        n_heads: int, int4: bool = False,
+                        interpret: bool = False):
     """Fused quantize + int8-cache self-attention for one decode step.
 
     Args:
@@ -55,6 +58,14 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
         padded to HP = ceil(H/8)*8 (rows >= H are zero).
       pad_len: (B, K) int32.  slot: () int32 current write position.
 
+    ``int4``: the caches are int4 LANE-packed (ttasr/ops/int4.py
+    pack_int4_lanes): k8/v8 are (B, K, len, D/2) uint8, byte ``[.., c]``
+    = col c | col c+D/2 << 4.  The kernel splits every D contraction
+    into two D/2-column halves and sums (scores) or writes the two
+    output halves separately (values) — no lane concatenates, which
+    Mosaic cannot lower cheaply.  New entries quantize to the +/-7
+    range and return packed (B, K, D/2) uint8.
+
     Returns (attn (B,K,D) f32 merged-head,
              k8_new (B,K,D) int8, ks_new (B,K,H) f32,
              v8_new (B,K,D) int8, vs_new (B,K,H) f32)
@@ -65,6 +76,11 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
     h = n_heads
     dh = d // h
     assert dh == 64, "kernel assumes head_dim 64"
+    d2 = d // 2
+    d_store = d2 if int4 else d
+    assert k8.shape[3] == d_store, (k8.shape, d_store)
+    lv = 7.0 if int4 else 127.0
+    kv_dtype = jnp.uint8 if int4 else jnp.int8
     s_len = k8.shape[2]
     hp = ks.shape[2]
     assert hp == ((h + 7) // 8) * 8, (hp, h)
@@ -103,19 +119,29 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
             for hh in range(h):
                 m = jnp.max(jnp.where(head_of_col_k == hh, ax, 0.0),
                             axis=1, keepdims=True)      # (K, 1)
-                sc = jnp.maximum(m, 1e-8) / 127.0
+                sc = jnp.maximum(m, 1e-8) / lv
                 scale_cols = jnp.where(head_of_col_k == hh, sc, scale_cols)
                 scale_heads = jnp.where(col_h_k == hh, sc, scale_heads)
-            q8 = jnp.clip(jnp.round(x / scale_cols), -127, 127)
+            q8 = jnp.clip(jnp.round(x / scale_cols), -lv, lv)
             return q8.astype(jnp.int8), scale_cols, scale_heads
+
+        def pack_rows(q8):
+            """(K, D) int8 in [-7, 7] -> (K, D/2) uint8 lane-packed."""
+            p = q8.astype(jnp.int32)
+            return ((p[:, :d2] & 0xF)
+                    | ((p[:, d2:] & 0xF) << 4)).astype(jnp.uint8)
 
         q_all = qkv_ref[0, :, :d] * qscale              # (K, D)
         k_new = qkv_ref[0, :, d : 2 * d]
         v_new = qkv_ref[0, :, 2 * d : 3 * d]
         k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
         v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
-        k8n_ref[0] = k8a
-        v8n_ref[0] = v8a
+        if int4:
+            k8n_ref[0] = pack_rows(k8a)
+            v8n_ref[0] = pack_rows(v8a)
+        else:
+            k8n_ref[0] = k8a
+            v8n_ref[0] = v8a
         ksn_ref[0] = ksc_heads
         vsn_ref[0] = vsc_heads
 
@@ -140,11 +166,25 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
                 diag_mask, jnp.broadcast_to(q_all[j : j + 1], (hp, d)), 0.0)
             qd = qd.astype(jnp.bfloat16)
 
-            keys = k_ref[0, j].astype(jnp.bfloat16)      # (len, D)
-            scores = jax.lax.dot_general(
-                qd, keys, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                            # (HP, len)
+            if int4:
+                # packed keys: score each D/2-column half and sum — the
+                # full-D contraction distributes over the column split
+                klo, khi = _nibble_decode(k_ref[0, j])   # (len, D/2) i32
+                scores = jax.lax.dot_general(
+                    qd[:, :d2], klo.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    qd[:, d2:], khi.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                        # (HP, len)
+            else:
+                keys = k_ref[0, j].astype(jnp.bfloat16)  # (len, D)
+                scores = jax.lax.dot_general(
+                    qd, keys, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                        # (HP, len)
             row_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (hp, s_len), 0)
             col_iota = jax.lax.broadcasted_iota(
@@ -171,19 +211,40 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
             p_self = e_self / denom                      # (HP, 1)
 
             probs_scaled = (probs * vs_ref[0, j]).astype(jnp.bfloat16)
-            vals = v_ref[0, j].astype(jnp.bfloat16)      # (len, D)
-            out_full = jax.lax.dot_general(
-                probs_scaled, vals, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                            # (HP, D)
             vq = (v8a[j : j + 1].astype(jnp.float32)
                   * vsc_cols[j : j + 1])                 # (1, D)
-            out_full = out_full + p_self * vq
-            merged = jnp.sum(
-                jnp.where(diag_mask, out_full, 0.0),
-                axis=0, keepdims=True,
-            )                                            # (1, D)
-            attn_ref[0, j : j + 1, :] = merged
+            if int4:
+                # value contraction is column-separable: compute and
+                # merge each packed half, write the two output slices
+                vlo, vhi = _nibble_decode(v_ref[0, j])   # (len, D/2) i32
+                out_lo = jax.lax.dot_general(
+                    probs_scaled, vlo.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + p_self * vq[:, :d2]                  # (HP, D/2)
+                out_hi = jax.lax.dot_general(
+                    probs_scaled, vhi.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + p_self * vq[:, d2:]
+                attn_ref[0, j : j + 1, :d2] = jnp.sum(
+                    jnp.where(diag_mask[:, :d2], out_lo, 0.0),
+                    axis=0, keepdims=True)
+                attn_ref[0, j : j + 1, d2:] = jnp.sum(
+                    jnp.where(diag_mask[:, d2:], out_hi, 0.0),
+                    axis=0, keepdims=True)
+            else:
+                vals = v_ref[0, j].astype(jnp.bfloat16)  # (len, D)
+                out_full = jax.lax.dot_general(
+                    probs_scaled, vals, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                        # (HP, D)
+                out_full = out_full + p_self * vq
+                merged = jnp.sum(
+                    jnp.where(diag_mask, out_full, 0.0),
+                    axis=0, keepdims=True,
+                )                                        # (1, D)
+                attn_ref[0, j : j + 1, :] = merged
 
     out = pl.pallas_call(
         kernel,
@@ -192,23 +253,23 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),            # slot (1,1)
             pl.BlockSpec(memory_space=pltpu.SMEM),            # pad (B,K)
             pl.BlockSpec((1, k_rows, d3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k_rows, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, d_store), kv_dtype),
             jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, d_store), kv_dtype),
             jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
         ),
         interpret=interpret,
@@ -216,9 +277,10 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "int4", "interpret"))
 def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
-                                 n_heads: int, interpret: bool = False):
+                                 n_heads: int, int4: bool = False,
+                                 interpret: bool = False):
     """Ancestry-indirect variant of :func:`self_attn_step_int8` for beam
     search: the caches are NEVER physically reordered after a beam select.
 
@@ -238,8 +300,9 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
     summation order (the softmax denominator reduces per chunk).  The
     K× FLOP overhead lands on a unit that is ~95 % idle during decode.
 
-    Args match self_attn_step_int8 plus ``anc``; returns the same
-    5-tuple.  The caller writes the *_new rows at (row j, slot) and sets
+    Args match self_attn_step_int8 plus ``anc`` (including ``int4`` —
+    lane-packed caches, see there); returns the same 5-tuple.  The
+    caller writes the *_new rows at (row j, slot) and sets
     ``anc[:, j, slot] = j``.
     """
     b, k_rows, d3 = qkv.shape
@@ -247,6 +310,11 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
     h = n_heads
     dh = d // h
     assert dh == 64, "kernel assumes head_dim 64"
+    d2 = d // 2
+    d_store = d2 if int4 else d
+    assert k8.shape[3] == d_store, (k8.shape, d_store)
+    lv = 7.0 if int4 else 127.0
+    kv_dtype = jnp.uint8 if int4 else jnp.int8
     s_len = k8.shape[2]
     hp = ks.shape[2]
     assert hp == ((h + 7) // 8) * 8, (hp, h)
@@ -287,19 +355,29 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
             for hh in range(h):
                 m = jnp.max(jnp.where(head_of_col_k == hh, ax, 0.0),
                             axis=1, keepdims=True)      # (K, 1)
-                sc = jnp.maximum(m, 1e-8) / 127.0
+                sc = jnp.maximum(m, 1e-8) / lv
                 scale_cols = jnp.where(head_of_col_k == hh, sc, scale_cols)
                 scale_heads = jnp.where(col_h_k == hh, sc, scale_heads)
-            q8 = jnp.clip(jnp.round(x / scale_cols), -127, 127)
+            q8 = jnp.clip(jnp.round(x / scale_cols), -lv, lv)
             return q8.astype(jnp.int8), scale_cols, scale_heads
+
+        def pack_rows(q8):
+            """(K, D) int8 in [-7, 7] -> (K, D/2) uint8 lane-packed."""
+            p = q8.astype(jnp.int32)
+            return ((p[:, :d2] & 0xF)
+                    | ((p[:, d2:] & 0xF) << 4)).astype(jnp.uint8)
 
         q_all = qkv_ref[0, :, :d] * qscale              # (K, D)
         k_new = qkv_ref[0, :, d : 2 * d]
         v_new = qkv_ref[0, :, 2 * d : 3 * d]
         k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
         v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
-        k8n_ref[0] = k8a
-        v8n_ref[0] = v8a
+        if int4:
+            k8n_ref[0] = pack_rows(k8a)
+            v8n_ref[0] = pack_rows(v8a)
+        else:
+            k8n_ref[0] = k8a
+            v8n_ref[0] = v8a
         ksn_ref[0] = ksc_heads
         vsn_ref[0] = vsc_heads
 
@@ -338,11 +416,23 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
         # pass 1: score every physical row's keys (one chunk per row)
         chunk_scores = []
         for r in range(k_rows):
-            keys = k_ref[0, r].astype(jnp.bfloat16)     # (len, D)
-            sc = jax.lax.dot_general(
-                q_stack, keys, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # (KH, len)
+            if int4:
+                klo, khi = _nibble_decode(k_ref[0, r])  # (len, D/2) i32
+                sc = jax.lax.dot_general(
+                    q_stack[:, :d2], klo.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    q_stack[:, d2:], khi.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                       # (KH, len)
+            else:
+                keys = k_ref[0, r].astype(jnp.bfloat16)  # (len, D)
+                sc = jax.lax.dot_general(
+                    q_stack, keys, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                       # (KH, len)
             ks_rep = jnp.broadcast_to(
                 ks_ref[0, r][None], (k_rows, hp, s_len)).reshape(kh, s_len)
             sc = sc * ks_rep
@@ -361,25 +451,58 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
             denom = denom + jnp.sum(e, axis=1, keepdims=True)
 
         # pass 2: accumulate each chunk's value contribution
-        acc = jnp.zeros((kh, d), jnp.float32)
-        for r in range(k_rows):
-            vs_rep = jnp.broadcast_to(
-                vs_ref[0, r][None], (k_rows, hp, s_len)).reshape(kh, s_len)
-            probs_scaled = (e_chunks[r] / denom * vs_rep).astype(jnp.bfloat16)
-            vals = v_ref[0, r].astype(jnp.bfloat16)     # (len, D)
-            acc = acc + jax.lax.dot_general(
-                probs_scaled, vals, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
         p_self = e_self / denom                         # (KH, 1)
         vq_rep = jnp.broadcast_to(
             (v8a.astype(jnp.float32) * vsc_cols)[:, None, :],
             (k_rows, hp, d)).reshape(kh, d)
-        acc = acc + p_self * vq_rep
+        if int4:
+            # column-separable: accumulate each packed half, merge per
+            # half, write the two attn_ref lane slices (no concatenate)
+            acc_lo = jnp.zeros((kh, d2), jnp.float32)
+            acc_hi = jnp.zeros((kh, d2), jnp.float32)
+            for r in range(k_rows):
+                vs_rep = jnp.broadcast_to(
+                    vs_ref[0, r][None],
+                    (k_rows, hp, s_len)).reshape(kh, s_len)
+                probs_scaled = (e_chunks[r] / denom
+                                * vs_rep).astype(jnp.bfloat16)
+                vlo, vhi = _nibble_decode(v_ref[0, r])  # (len, D/2) i32
+                acc_lo = acc_lo + jax.lax.dot_general(
+                    probs_scaled, vlo.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_hi = acc_hi + jax.lax.dot_general(
+                    probs_scaled, vhi.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_lo = acc_lo + p_self * vq_rep[:, :d2]
+            acc_hi = acc_hi + p_self * vq_rep[:, d2:]
+            attn_ref[0, :, :d2] = jnp.sum(
+                jnp.where(diag_kh[:, :d2],
+                          acc_lo, 0.0).reshape(k_rows, hp, d2), axis=1)
+            attn_ref[0, :, d2:] = jnp.sum(
+                jnp.where(diag_kh[:, d2:],
+                          acc_hi, 0.0).reshape(k_rows, hp, d2), axis=1)
+        else:
+            acc = jnp.zeros((kh, d), jnp.float32)
+            for r in range(k_rows):
+                vs_rep = jnp.broadcast_to(
+                    vs_ref[0, r][None],
+                    (k_rows, hp, s_len)).reshape(kh, s_len)
+                probs_scaled = (e_chunks[r] / denom
+                                * vs_rep).astype(jnp.bfloat16)
+                vals = v_ref[0, r].astype(jnp.bfloat16)  # (len, D)
+                acc = acc + jax.lax.dot_general(
+                    probs_scaled, vals, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc = acc + p_self * vq_rep
 
-        merged = jnp.sum(
-            jnp.where(diag_kh, acc, 0.0).reshape(k_rows, hp, d), axis=1)
-        attn_ref[0] = merged                            # (K, D)
+            merged = jnp.sum(
+                jnp.where(diag_kh, acc, 0.0).reshape(k_rows, hp, d), axis=1)
+            attn_ref[0] = merged                        # (K, D)
 
     out = pl.pallas_call(
         kernel,
@@ -389,23 +512,23 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),            # pad (B,K)
             pl.BlockSpec((1, k_rows, d3), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, k_rows, s_len), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k_rows, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, d_store), kv_dtype),
             jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, k_rows, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, k_rows, d_store), kv_dtype),
             jax.ShapeDtypeStruct((b, k_rows, h), jnp.float32),
         ),
         interpret=interpret,
