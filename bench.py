@@ -71,6 +71,16 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
                            cross_kv_int4=cross_kv_int4,
                            kv_int4=kv_int4 and kv_int8)
 
+    # persistent-cache state: compile_s on an EMPTY cache is the cold-
+    # start number (BENCH_r04: 1612 s cold); a warmed cache (ttasr.cli.
+    # warmup, or any prior run of this config) collapses it to seconds.
+    # The cache dir is a deploy artifact — ship it with the weights.
+    try:
+        cache_entries_start = len(os.listdir(
+            os.environ["JAX_COMPILATION_CACHE_DIR"]))
+    except OSError:
+        cache_entries_start = 0
+
     rng = np.random.default_rng(0)
     # int16 PCM end-to-end: audio is natively int16, and uploading f32
     # through the axon relay measured 0.52 s at batch 16 vs 0.37 s for
@@ -141,6 +151,7 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
         "rtf": rtf,
         "elapsed_s": elapsed,
         "compile_s": compile_time,
+        "cache_entries_start": cache_entries_start,
         "audio_s": audio_seconds,
         "decoded_tokens": int(lengths.sum()) or batch * decode_tokens,
         "tokens_per_s": batch * decode_tokens / elapsed,
@@ -215,6 +226,7 @@ def main() -> None:
             "decode_tokens_per_window": args.decode_tokens,
             "elapsed_s": round(stats["elapsed_s"], 3),
             "compile_s": round(stats["compile_s"], 1),
+            "cold_start": stats["cache_entries_start"] == 0,
             "tokens_per_s": round(stats["tokens_per_s"], 1),
             "encoder_s": round(stats["encoder_s"], 3),
             "mfu": round(stats["mfu"], 4),

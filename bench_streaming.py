@@ -88,7 +88,7 @@ async def _stream_one(client, url: str, seed: int, seconds: float,
                     end_t = msg["result"][-1].get("endTime")
                     if end_t is not None and boundary_times:
                         live_at = t0 + float(end_t)
-                        latencies.append(now - live_at)
+                        latencies.append((float(end_t), now - live_at))
                         if first:
                             firsts.append(now - boundary_times[0])
                             first = False
@@ -168,12 +168,30 @@ async def run(args) -> dict:
     finally:
         await client.close()
 
-    lat = np.asarray(sorted(latencies))
-    if len(lat) == 0:
+    if len(latencies) == 0:
         raise RuntimeError("no partials received")
+    lat = np.asarray(sorted(l for _, l in latencies))
     p50 = float(np.percentile(lat, 50))
     p95 = float(np.percentile(lat, 95))
-    raw = [round(float(x), 3) for x in latencies[:16]]
+    raw = [round(float(l), 3) for _, l in latencies[:16]]
+
+    # per-window-bucket latency (VERDICT r4 #9): a partial whose scratch
+    # end crosses 5.12 s / 15.36 s encodes the next window bucket
+    # (serving.WINDOW_BUCKETS) — a latency CLIFF between buckets would
+    # show here as a p50 jump
+    def bucket_stats(lo, hi):
+        xs = [l for t, l in latencies if lo < t <= hi]
+        if not xs:
+            return None
+        return {"n": len(xs),
+                "p50": round(float(np.percentile(xs, 50)), 4),
+                "p95": round(float(np.percentile(xs, 95)), 4)}
+
+    by_bucket = {
+        "win_5.12s": bucket_stats(0.0, 5.12),
+        "win_15.36s": bucket_stats(5.12, 15.36),
+        "win_30s": bucket_stats(15.36, 1e9),
+    }
     return {
         "metric": "streaming_p50_partial_latency",
         "value": round(p50, 4),
@@ -186,6 +204,7 @@ async def run(args) -> dict:
         "model": args.model,
         "slots": args.slots,
         "wall_s": round(elapsed, 2),
+        "by_window_bucket": by_bucket,
         "raw_first16": raw,
     }
 

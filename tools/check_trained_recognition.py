@@ -54,7 +54,8 @@ def _write_wav(path, audio, sr=16000):
 
 
 def run_check(steps=800, n_clips=6, lr=2e-3, seed=0, max_cer=0.05,
-              out_json=None):
+              out_json=None, model="micro-test", compute="float32",
+              batched=False, int4_ab=False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -70,7 +71,7 @@ def run_check(steps=800, n_clips=6, lr=2e-3, seed=0, max_cer=0.05,
     from ttasr.train.trainer import Trainer, TrainerConfig
 
     tok = build_byte_fallback_tokenizer()
-    cfg = get_config("micro-test")
+    cfg = get_config(model)
     rng = np.random.default_rng(seed)
 
     tmp = tempfile.mkdtemp(prefix="ttasr-e2e-")
@@ -93,8 +94,12 @@ def run_check(steps=800, n_clips=6, lr=2e-3, seed=0, max_cer=0.05,
     train_metrics = trainer.train(examples)
 
     params = jax.tree.map(lambda x: x, trainer.state.params)
-    engine = WhisperEngine("micro-test", params=params, config=cfg,
-                           tokenizer=tok)
+
+    def make_engine(**kw):
+        return WhisperEngine(model, params=params, config=cfg,
+                             tokenizer=tok, compute_type=compute, **kw)
+
+    engine = make_engine()
     refs, per_clip = [], []
     hyps = {1: [], 5: []}
     for ex in examples:
@@ -128,9 +133,43 @@ def run_check(steps=800, n_clips=6, lr=2e-3, seed=0, max_cer=0.05,
     # suppress list banned the tail byte of ♩ (0xA9), which is also the
     # last UTF-8 byte of 天 (ttasr/text/tokenizer.py::non_speech_tokens).
     cer = cer_metric(refs, hyps[1])  # fraction (edits / ref chars)
+
+    extra = {}
+    if batched:
+        # VERDICT r4 #3: the VAD-chunked batched path's quality had
+        # never been checked on trained recognition — run every clip
+        # through BatchedInferencePipeline (the real BatchServer path)
+        from ttasr.engine.batched import BatchedInferencePipeline
+
+        pipe = BatchedInferencePipeline(engine, batch_size=4)
+        hyps_b = []
+        for ex in examples:
+            segs_b, _ = pipe.transcribe(
+                ex.audio_path, language="zh", beam_size=5,
+                vad_filter=True, initial_prompt="", max_new_tokens=48)
+            hyps_b.append("".join(s.text for s in segs_b))
+        extra["e2e_trained_cer_batched_beam5"] = round(
+            cer_metric(refs, hyps_b), 4)
+        extra["batched_hyps"] = hyps_b
+    if int4_ab and compute == "int8":
+        # int4 self-KV recognition bound (VERDICT r4 #2): same trained
+        # params, engine with kv_int4 OFF vs the default ON above
+        eng_off = make_engine(kv_int4=False)
+        hyps_off = []
+        for ex in examples:
+            segs_o, _ = eng_off.transcribe(
+                ex.audio_path, language="zh", beam_size=5,
+                vad_filter=True, condition_on_previous_text=True,
+                initial_prompt="", max_new_tokens=48)
+            hyps_off.append("".join(s.text for s in segs_o))
+        extra["e2e_trained_cer_beam5_kv_int8"] = round(
+            cer_metric(refs, hyps_off), 4)
+
     result = {
+        "model": model, "compute": compute,
         "e2e_trained_cer_greedy": round(cer, 4),
         "e2e_trained_cer_beam5": round(cer_metric(refs, hyps[5]), 4),
+        **extra,
         "train_loss": round(train_metrics["train_loss"], 4),
         "steps": steps, "clips": n_clips,
         "vad_all_detected": all(c["vad_kept_s"] > 0.5 for c in per_clip),
@@ -155,9 +194,20 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-cer", type=float, default=0.05)
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--model", default="micro-test",
+                    help="micro64-test engages the fused dh-64 path")
+    ap.add_argument("--compute", default="float32",
+                    help="int8 runs the fused kernels (interpret on CPU)")
+    ap.add_argument("--batched", action="store_true",
+                    help="also score BatchedInferencePipeline (VERDICT r4 #3)")
+    ap.add_argument("--int4-ab", action="store_true",
+                    help="also score kv_int4 OFF for the int4 self-KV "
+                         "recognition bound (needs --compute int8)")
     args = ap.parse_args()
     _, ok = run_check(args.steps, args.clips, args.lr, args.seed,
-                      args.max_cer, args.out_json)
+                      args.max_cer, args.out_json, model=args.model,
+                      compute=args.compute, batched=args.batched,
+                      int4_ab=args.int4_ab)
     sys.exit(0 if ok else 1)
 
 

@@ -68,6 +68,12 @@ def _preset(name, d, enc_l, dec_l, heads, mels=80, vocab=51865):
 PRESETS = {
     # dev preset: byte-fallback-tokenizer vocab, micro dims (tests/CI)
     "micro-test": _preset("micro-test", 64, 2, 2, 4, vocab=1865),
+    # head_dim-64 dev preset: the fused Pallas decode path (and its
+    # int8/int4 cache modes) requires head_dim 64 — micro-test's dh=16
+    # cannot engage it, so recognition-level checks of the fused path
+    # (tools/check_trained_recognition.py --model micro64-test
+    # --compute int8) train this one instead
+    "micro64-test": _preset("micro64-test", 128, 2, 2, 2, vocab=1865),
     "tiny": _preset("tiny", 384, 4, 4, 6),
     "tiny.en": _preset("tiny.en", 384, 4, 4, 6, vocab=51864),
     "base": _preset("base", 512, 6, 6, 8),

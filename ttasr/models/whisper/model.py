@@ -178,6 +178,18 @@ def _use_fused_encoder_attention(dh: int) -> bool:
     return dh == 64 and jax.default_backend() == "tpu"
 
 
+def _enc_qkv(x, blk):
+    """q/k/v projections, through the fused (D, 3D) leaf when present
+    (ops.quant.fuse_qkv fuses the encoder too on the single-chip int8
+    path; one matmul replaces three)."""
+    if "wqkv" in blk:
+        qkv = _proj(x, blk["wqkv"], blk["bqkv"])
+        d = x.shape[-1]
+        return qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    return (_proj(x, blk["wq"], blk["bq"]), _proj(x, blk["wk"]),
+            _proj(x, blk["wv"], blk["bv"]))
+
+
 def _self_attn(x, blk, n_heads, mask=None, fused: bool = False,
                t_real=None):
     dh = x.shape[-1] // n_heads
@@ -191,15 +203,16 @@ def _self_attn(x, blk, n_heads, mask=None, fused: bool = False,
             encoder_attention_merged,
         )
 
-        qm = (_proj(x, blk["wq"], blk["bq"]) * (dh ** -0.5)).astype(x.dtype)
-        km = _proj(x, blk["wk"]).astype(x.dtype)
-        vm = _proj(x, blk["wv"], blk["bv"]).astype(x.dtype)
+        qm, km, vm = _enc_qkv(x, blk)
+        qm = (qm * (dh ** -0.5)).astype(x.dtype)
         out_m = encoder_attention_merged(
-            qm, km, vm, t_real if t_real is not None else x.shape[1])
+            qm.astype(x.dtype), km.astype(x.dtype), vm.astype(x.dtype),
+            t_real if t_real is not None else x.shape[1])
         return _proj(out_m, blk["wo"], blk["bo"])
-    q = _split_heads(_proj(x, blk["wq"], blk["bq"]), n_heads)
-    k = _split_heads(_proj(x, blk["wk"]), n_heads)
-    v = _split_heads(_proj(x, blk["wv"], blk["bv"]), n_heads)
+    q, k, v = _enc_qkv(x, blk)
+    q = _split_heads(q, n_heads)
+    k = _split_heads(k, n_heads)
+    v = _split_heads(v, n_heads)
     out = _attention(q, k, v, mask)
     return _proj(_merge_heads(out), blk["wo"], blk["bo"])
 
@@ -225,11 +238,24 @@ def _self_attn_act8(x, blk, n_heads, t_real, *, interpret: bool = False):
 
     dh = x.shape[-1] // n_heads
     qs = dh ** -0.5
+    d = x.shape[-1]
     xq, xs = quantize_act(x)
-    qm = quant_matmul_act8(xq, xs * qs, blk["wq"], blk["bq"] * qs,
-                           out_dtype=x.dtype)
-    km = quant_matmul_act8(xq, xs, blk["wk"], out_dtype=x.dtype)
-    vm = quant_matmul_act8(xq, xs, blk["wv"], blk["bv"], out_dtype=x.dtype)
+    if "wqkv" in blk:
+        # fused (D, 3D) projection: one s8 x s8 dot instead of three —
+        # each XLA s8 dot costs ~77 s of cold compile (probe_s8_matmul)
+        # and the wider matmul fills the MXU better.  The q pre-scale
+        # applies post-slice (XLA fuses it into the epilogue).
+        qkv = quant_matmul_act8(xq, xs, blk["wqkv"], blk["bqkv"],
+                                out_dtype=jnp.float32)
+        qm = (qkv[..., :d] * qs).astype(x.dtype)
+        km = qkv[..., d:2 * d].astype(x.dtype)
+        vm = qkv[..., 2 * d:].astype(x.dtype)
+    else:
+        qm = quant_matmul_act8(xq, xs * qs, blk["wq"], blk["bq"] * qs,
+                               out_dtype=x.dtype)
+        km = quant_matmul_act8(xq, xs, blk["wk"], out_dtype=x.dtype)
+        vm = quant_matmul_act8(xq, xs, blk["wv"], blk["bv"],
+                               out_dtype=x.dtype)
     out_m = encoder_attention_merged(qm, km, vm, t_real, interpret=interpret)
     oq, os_ = quantize_act(out_m)
     return quant_matmul_act8(oq, os_, blk["wo"], blk["bo"],

@@ -99,6 +99,27 @@ def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
     dec["blocks"] = blocks
     out = dict(params)
     out["decoder"] = dec
+
+    # Encoder q/k/v fuse likewise: one (D, 3D) s8 matmul replaces three.
+    # Besides the MXU-utilization win, each XLA s8 x s8 dot costs ~77 s
+    # of cold compile through the relay (tools/probe_s8_matmul.py), so
+    # 6 -> 4 dots/layer takes ~150 s off the cold-start budget.  The
+    # dh**-0.5 q-scale stays a post-slice multiply in _self_attn*.
+    enc = dict(out.get("encoder", {}))
+    eblocks = dict(enc.get("blocks", {}))
+    if all(is_quantized(eblocks.get(k)) for k in ("wq", "wk", "wv")):
+        ewq, ewk, ewv = eblocks["wq"], eblocks["wk"], eblocks["wv"]
+        eblocks["wqkv"] = {
+            "q": jnp.concatenate([ewq["q"], ewk["q"], ewv["q"]], axis=-1),
+            "s": jnp.concatenate([ewq["s"], ewk["s"], ewv["s"]], axis=-1),
+        }
+        eblocks["bqkv"] = jnp.concatenate(
+            [eblocks["bq"], jnp.zeros_like(eblocks["bq"]), eblocks["bv"]],
+            axis=-1)
+        for key in ("wq", "wk", "wv", "bq", "bv"):
+            del eblocks[key]
+        enc["blocks"] = eblocks
+        out["encoder"] = enc
     return out
 
 
