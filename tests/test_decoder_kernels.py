@@ -1049,3 +1049,55 @@ def test_self_kv_int4_decode_bucket_consistency():
         for i in range(2):
             n = int(l0[i])
             assert list(t0[i, :n]) == list(t1[i, :n]), (beam, i)
+
+
+def test_self_attn_indirect_group_invariance():
+    """self_attn_step_indirect_int8 with ``group`` audios per grid step
+    must equal the group-1 result exactly — int8 and int4 modes (mirror
+    of the cross kernel's group test)."""
+    import jax.numpy as jnp
+
+    from ttasr.models.whisper.model import quantize_kv
+    from ttasr.ops.int4 import pack_int4_lanes, quantize_kv4
+    from ttasr.ops.self_attention_pallas import self_attn_step_indirect_int8
+
+    rng = np.random.default_rng(23)
+    b, k_rows, h, dh, s_len = 4, 3, 2, 64, 16
+    d = h * dh
+    bk = b * k_rows
+    hp = 8
+    slot = 9
+    pad = np.repeat(np.array([[2], [0], [1], [3]], np.int32), k_rows, axis=1)
+    qkv = (rng.standard_normal((b, k_rows, 3 * d)) * 0.5).astype(np.float32)
+    cache_kv = (rng.standard_normal((2, bk, s_len, h, dh)) * 0.5
+                ).astype(np.float32)
+    anc = jnp.asarray(
+        rng.integers(0, k_rows, (b, k_rows, s_len)).astype(np.int32))
+
+    def to_kernel_scales(sc):
+        t = jnp.swapaxes(jnp.asarray(sc), 1, 2)
+        t = jnp.pad(t, ((0, 0), (0, hp - h), (0, 0)))
+        return t.reshape(b, k_rows, hp, s_len)
+
+    for int4 in (False, True):
+        quant = quantize_kv4 if int4 else quantize_kv
+        k8c, ksc = quant(jnp.asarray(cache_kv[0]))
+        v8c, vsc = quant(jnp.asarray(cache_kv[1]))
+        if int4:
+            kc = pack_int4_lanes(jnp.asarray(k8c).reshape(bk, s_len, d)
+                                 ).reshape(b, k_rows, s_len, d // 2)
+            vc = pack_int4_lanes(jnp.asarray(v8c).reshape(bk, s_len, d)
+                                 ).reshape(b, k_rows, s_len, d // 2)
+        else:
+            kc = jnp.asarray(k8c).reshape(b, k_rows, s_len, d)
+            vc = jnp.asarray(v8c).reshape(b, k_rows, s_len, d)
+        args = (jnp.asarray(qkv), kc, to_kernel_scales(ksc), vc,
+                to_kernel_scales(vsc), anc, jnp.asarray(pad),
+                jnp.asarray(slot, jnp.int32))
+        base = self_attn_step_indirect_int8(
+            *args, n_heads=h, int4=int4, group=1, interpret=True)
+        for grp in (2, 3, 4):  # 3 does not divide b=4 -> falls back to 1
+            got = self_attn_step_indirect_int8(
+                *args, n_heads=h, int4=int4, group=grp, interpret=True)
+            for x, y in zip(base, got):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

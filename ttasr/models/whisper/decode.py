@@ -434,6 +434,9 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
             d_store = k_cache.shape[-1]  # D, or D/2 int4 lane-packed
             self_int4 = d_store != d
             if anc is not None:
+                # 2 audios per grid step: per-program fixed cost (DMA
+                # setup, grid overhead) amortizes — same heuristic as
+                # the cross kernel's audios_per_program
                 attn_g, k8n, ksn, v8n, vsn = self_attn_step_indirect_int8(
                     qkv.reshape(b_audio, group, 3 * d),
                     k_cache.reshape(b_audio, group, cache_len, d_store),
@@ -442,7 +445,8 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                     vs_cache.reshape(b_audio, group, hp, cache_len),
                     anc.reshape(b_audio, group, cache_len),
                     pad_len.reshape(b_audio, group), slot,
-                    n_heads=h, int4=self_int4, interpret=interp,
+                    n_heads=h, int4=self_int4,
+                    group=2 if b_audio % 2 == 0 else 1, interpret=interp,
                 )
             else:
                 attn_g, k8n, ksn, v8n, vsn = self_attn_step_int8(

@@ -277,10 +277,11 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "int4", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "int4", "group", "interpret"))
 def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
                                  n_heads: int, int4: bool = False,
-                                 interpret: bool = False):
+                                 group: int = 1, interpret: bool = False):
     """Ancestry-indirect variant of :func:`self_attn_step_int8` for beam
     search: the caches are NEVER physically reordered after a beam select.
 
@@ -320,6 +321,13 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
     assert hp == ((h + 7) // 8) * 8, (hp, h)
     kh = k_rows * hp
     qscale = dh ** -0.5
+    # ``group`` audios per grid step (like attnout_ln_q_cross_int8):
+    # the per-program fixed cost (DMA setup per buffer, grid step
+    # overhead) does not shrink with the tiny per-audio operands, so at
+    # batch 48 halving the program count takes it off the step
+    if b % group != 0:
+        group = 1
+    g = group
 
     slot_arr = jnp.asarray(slot, jnp.int32).reshape(1, 1)
     pad_arr = pad_len.astype(jnp.int32).reshape(b, k_rows)
@@ -367,162 +375,163 @@ def self_attn_step_indirect_int8(qkv, k8, ks, v8, vs, anc, pad_len, slot, *,
             return ((p[:, :d2] & 0xF)
                     | ((p[:, d2:] & 0xF) << 4)).astype(jnp.uint8)
 
-        q_all = qkv_ref[0, :, :d] * qscale              # (K, D)
-        k_new = qkv_ref[0, :, d : 2 * d]
-        v_new = qkv_ref[0, :, 2 * d : 3 * d]
-        k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
-        v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
-        if int4:
-            k8n_ref[0] = pack_rows(k8a)
-            v8n_ref[0] = pack_rows(v8a)
-        else:
-            k8n_ref[0] = k8a
-            v8n_ref[0] = v8a
-        ksn_ref[0] = ksc_heads
-        vsn_ref[0] = vsc_heads
+        for a in range(g):  # audios in this grid step
+            q_all = qkv_ref[a, :, :d] * qscale              # (K, D)
+            k_new = qkv_ref[a, :, d : 2 * d]
+            v_new = qkv_ref[a, :, 2 * d : 3 * d]
+            k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
+            v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
+            if int4:
+                k8n_ref[a] = pack_rows(k8a)
+                v8n_ref[a] = pack_rows(v8a)
+            else:
+                k8n_ref[a] = k8a
+                v8n_ref[a] = v8a
+            ksn_ref[a] = ksc_heads
+            vsn_ref[a] = vsc_heads
 
-        # self-term dots for every (beam, head): see self_attn_step_int8
-        prod_all = (q_all.astype(jnp.bfloat16).astype(jnp.float32)
-                    * k8a.astype(jnp.float32))          # (K, D)
-        d_self = jax.lax.dot_general(
-            prod_all, seg_dh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                               # (K, H)
-        s_self_all = d_self * ksc_heads                 # (K, H)
-        # score-row layout (KH, 1): beam j's heads at rows j*HP..j*HP+H-1
-        s_self_rows = jnp.concatenate(
-            [jax.lax.dot_general(
-                hp_oh, s_self_all[j : j + 1], (((1,), (1,)), ((), ())),
+            # self-term dots for every (beam, head): see self_attn_step_int8
+            prod_all = (q_all.astype(jnp.bfloat16).astype(jnp.float32)
+                        * k8a.astype(jnp.float32))          # (K, D)
+            d_self = jax.lax.dot_general(
+                prod_all, seg_dh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            ) for j in range(k_rows)], axis=0)          # (KH, 1)
+            )                                               # (K, H)
+            s_self_all = d_self * ksc_heads                 # (K, H)
+            # score-row layout (KH, 1): beam j's heads at rows j*HP..j*HP+H-1
+            s_self_rows = jnp.concatenate(
+                [jax.lax.dot_general(
+                    hp_oh, s_self_all[j : j + 1], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) for j in range(k_rows)], axis=0)          # (KH, 1)
 
-        # stacked Q_diag for ALL beams: rows j*HP+hh hold q_j's head-hh
-        # columns (beam-major repeat, then the diagonal head mask)
-        q_rep = jnp.broadcast_to(
-            q_all[:, None, :], (k_rows, hp, d)).reshape(kh, d)
-        q_stack = jnp.where(diag_kh, q_rep, 0.0).astype(jnp.bfloat16)
+            # stacked Q_diag for ALL beams: rows j*HP+hh hold q_j's head-hh
+            # columns (beam-major repeat, then the diagonal head mask)
+            q_rep = jnp.broadcast_to(
+                q_all[:, None, :], (k_rows, hp, d)).reshape(kh, d)
+            q_stack = jnp.where(diag_kh, q_rep, 0.0).astype(jnp.bfloat16)
 
-        # beam-major repeats of the ancestry map and per-beam pad lens
-        anc_rep = jnp.broadcast_to(
-            anc_ref[0][:, None, :], (k_rows, hp, s_len)).reshape(kh, s_len)
-        pad_row = jnp.zeros((kh, 1), jnp.int32)
-        for j in range(k_rows):
-            pad_row = jnp.where(beam_row_1 == j, pad_ref[prog, j], pad_row)
-        base_valid = ((col_len < cur) & (col_len >= pad_row)
-                      & (head_row_len < h))             # (KH, len)
+            # beam-major repeats of the ancestry map and per-beam pad lens
+            anc_rep = jnp.broadcast_to(
+                anc_ref[a][:, None, :], (k_rows, hp, s_len)).reshape(kh, s_len)
+            pad_row = jnp.zeros((kh, 1), jnp.int32)
+            for j in range(k_rows):
+                pad_row = jnp.where(beam_row_1 == j, pad_ref[prog * g + a, j], pad_row)
+            base_valid = ((col_len < cur) & (col_len >= pad_row)
+                          & (head_row_len < h))             # (KH, len)
 
-        # pass 1: score every physical row's keys (one chunk per row)
-        chunk_scores = []
-        for r in range(k_rows):
+            # pass 1: score every physical row's keys (one chunk per row)
+            chunk_scores = []
+            for r in range(k_rows):
+                if int4:
+                    klo, khi = _nibble_decode(k_ref[a, r])  # (len, D/2) i32
+                    sc = jax.lax.dot_general(
+                        q_stack[:, :d2], klo.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        q_stack[:, d2:], khi.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                       # (KH, len)
+                else:
+                    keys = k_ref[a, r].astype(jnp.bfloat16)  # (len, D)
+                    sc = jax.lax.dot_general(
+                        q_stack, keys, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                       # (KH, len)
+                ks_rep = jnp.broadcast_to(
+                    ks_ref[a, r][None], (k_rows, hp, s_len)).reshape(kh, s_len)
+                sc = sc * ks_rep
+                sc = jnp.where(base_valid & (anc_rep == r), sc, NEG_INF)
+                chunk_scores.append(sc)
+
+            m = s_self_rows
+            for sc in chunk_scores:
+                m = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+            e_self = jnp.exp(s_self_rows - m)
+            denom = e_self
+            e_chunks = []
+            for sc in chunk_scores:
+                e = jnp.exp(sc - m)
+                e_chunks.append(e)
+                denom = denom + jnp.sum(e, axis=1, keepdims=True)
+
+            # pass 2: accumulate each chunk's value contribution
+            p_self = e_self / denom                         # (KH, 1)
+            vq_rep = jnp.broadcast_to(
+                (v8a.astype(jnp.float32) * vsc_cols)[:, None, :],
+                (k_rows, hp, d)).reshape(kh, d)
             if int4:
-                klo, khi = _nibble_decode(k_ref[0, r])  # (len, D/2) i32
-                sc = jax.lax.dot_general(
-                    q_stack[:, :d2], klo.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    q_stack[:, d2:], khi.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                       # (KH, len)
+                # column-separable: accumulate each packed half, merge per
+                # half, write the two attn_ref lane slices (no concatenate)
+                acc_lo = jnp.zeros((kh, d2), jnp.float32)
+                acc_hi = jnp.zeros((kh, d2), jnp.float32)
+                for r in range(k_rows):
+                    vs_rep = jnp.broadcast_to(
+                        vs_ref[a, r][None],
+                        (k_rows, hp, s_len)).reshape(kh, s_len)
+                    probs_scaled = (e_chunks[r] / denom
+                                    * vs_rep).astype(jnp.bfloat16)
+                    vlo, vhi = _nibble_decode(v_ref[a, r])  # (len, D/2) i32
+                    acc_lo = acc_lo + jax.lax.dot_general(
+                        probs_scaled, vlo.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc_hi = acc_hi + jax.lax.dot_general(
+                        probs_scaled, vhi.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                acc_lo = acc_lo + p_self * vq_rep[:, :d2]
+                acc_hi = acc_hi + p_self * vq_rep[:, d2:]
+                attn_ref[a, :, :d2] = jnp.sum(
+                    jnp.where(diag_kh[:, :d2],
+                              acc_lo, 0.0).reshape(k_rows, hp, d2), axis=1)
+                attn_ref[a, :, d2:] = jnp.sum(
+                    jnp.where(diag_kh[:, d2:],
+                              acc_hi, 0.0).reshape(k_rows, hp, d2), axis=1)
             else:
-                keys = k_ref[0, r].astype(jnp.bfloat16)  # (len, D)
-                sc = jax.lax.dot_general(
-                    q_stack, keys, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                       # (KH, len)
-            ks_rep = jnp.broadcast_to(
-                ks_ref[0, r][None], (k_rows, hp, s_len)).reshape(kh, s_len)
-            sc = sc * ks_rep
-            sc = jnp.where(base_valid & (anc_rep == r), sc, NEG_INF)
-            chunk_scores.append(sc)
+                acc = jnp.zeros((kh, d), jnp.float32)
+                for r in range(k_rows):
+                    vs_rep = jnp.broadcast_to(
+                        vs_ref[a, r][None],
+                        (k_rows, hp, s_len)).reshape(kh, s_len)
+                    probs_scaled = (e_chunks[r] / denom
+                                    * vs_rep).astype(jnp.bfloat16)
+                    vals = v_ref[a, r].astype(jnp.bfloat16)  # (len, D)
+                    acc = acc + jax.lax.dot_general(
+                        probs_scaled, vals, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                acc = acc + p_self * vq_rep
 
-        m = s_self_rows
-        for sc in chunk_scores:
-            m = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
-        e_self = jnp.exp(s_self_rows - m)
-        denom = e_self
-        e_chunks = []
-        for sc in chunk_scores:
-            e = jnp.exp(sc - m)
-            e_chunks.append(e)
-            denom = denom + jnp.sum(e, axis=1, keepdims=True)
-
-        # pass 2: accumulate each chunk's value contribution
-        p_self = e_self / denom                         # (KH, 1)
-        vq_rep = jnp.broadcast_to(
-            (v8a.astype(jnp.float32) * vsc_cols)[:, None, :],
-            (k_rows, hp, d)).reshape(kh, d)
-        if int4:
-            # column-separable: accumulate each packed half, merge per
-            # half, write the two attn_ref lane slices (no concatenate)
-            acc_lo = jnp.zeros((kh, d2), jnp.float32)
-            acc_hi = jnp.zeros((kh, d2), jnp.float32)
-            for r in range(k_rows):
-                vs_rep = jnp.broadcast_to(
-                    vs_ref[0, r][None],
-                    (k_rows, hp, s_len)).reshape(kh, s_len)
-                probs_scaled = (e_chunks[r] / denom
-                                * vs_rep).astype(jnp.bfloat16)
-                vlo, vhi = _nibble_decode(v_ref[0, r])  # (len, D/2) i32
-                acc_lo = acc_lo + jax.lax.dot_general(
-                    probs_scaled, vlo.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc_hi = acc_hi + jax.lax.dot_general(
-                    probs_scaled, vhi.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            acc_lo = acc_lo + p_self * vq_rep[:, :d2]
-            acc_hi = acc_hi + p_self * vq_rep[:, d2:]
-            attn_ref[0, :, :d2] = jnp.sum(
-                jnp.where(diag_kh[:, :d2],
-                          acc_lo, 0.0).reshape(k_rows, hp, d2), axis=1)
-            attn_ref[0, :, d2:] = jnp.sum(
-                jnp.where(diag_kh[:, d2:],
-                          acc_hi, 0.0).reshape(k_rows, hp, d2), axis=1)
-        else:
-            acc = jnp.zeros((kh, d), jnp.float32)
-            for r in range(k_rows):
-                vs_rep = jnp.broadcast_to(
-                    vs_ref[0, r][None],
-                    (k_rows, hp, s_len)).reshape(kh, s_len)
-                probs_scaled = (e_chunks[r] / denom
-                                * vs_rep).astype(jnp.bfloat16)
-                vals = v_ref[0, r].astype(jnp.bfloat16)  # (len, D)
-                acc = acc + jax.lax.dot_general(
-                    probs_scaled, vals, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            acc = acc + p_self * vq_rep
-
-            merged = jnp.sum(
-                jnp.where(diag_kh, acc, 0.0).reshape(k_rows, hp, d), axis=1)
-            attn_ref[0] = merged                        # (K, D)
+                merged = jnp.sum(
+                    jnp.where(diag_kh, acc, 0.0).reshape(k_rows, hp, d), axis=1)
+                attn_ref[a] = merged                        # (K, D)
 
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # slot (1,1)
             pl.BlockSpec(memory_space=pltpu.SMEM),            # pad (B,K)
-            pl.BlockSpec((1, k_rows, d3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, s_len), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, d_store), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, d_store), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, h), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k_rows, d), jnp.float32),
