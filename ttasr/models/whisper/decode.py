@@ -449,6 +449,11 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                     group=2 if b_audio % 2 == 0 else 1, interpret=interp,
                 )
             else:
+                # audios per grid step: the greedy path has ONE row per
+                # audio, so batch-48 would otherwise run 48 single-row
+                # programs per layer; cap rows/program at ~16
+                ap = next((a for a in (8, 4, 2)
+                           if b_audio % a == 0 and a * group <= 16), 1)
                 attn_g, k8n, ksn, v8n, vsn = self_attn_step_int8(
                     qkv.reshape(b_audio, group, 3 * d),
                     k_cache.reshape(b_audio, group, cache_len, d_store),
@@ -456,7 +461,7 @@ def _step(params, cfg: WhisperConfig, token, slot, pad_len, cache: DecodeCache,
                     v_cache.reshape(b_audio, group, cache_len, d_store),
                     vs_cache.reshape(b_audio, group, hp, cache_len),
                     pad_len.reshape(b_audio, group), slot,
-                    n_heads=h, int4=self_int4, interpret=interp,
+                    n_heads=h, int4=self_int4, group=ap, interpret=interp,
                 )
             attn2 = attn_g.reshape(bk, d)
 

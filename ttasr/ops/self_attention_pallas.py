@@ -42,10 +42,11 @@ from ttasr.ops.int4 import _nibble_decode
 NEG_INF = float(np.finfo(np.float32).min)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "int4", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "int4", "group", "interpret"))
 def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
                         n_heads: int, int4: bool = False,
-                        interpret: bool = False):
+                        group: int = 1, interpret: bool = False):
     """Fused quantize + int8-cache self-attention for one decode step.
 
     Args:
@@ -85,6 +86,12 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
     hp = ks.shape[2]
     assert hp == ((h + 7) // 8) * 8, (hp, h)
     qscale = dh ** -0.5
+    # ``group`` audios per grid step: the greedy path calls this with
+    # K=1 rows per audio, so without grouping a batch-48 decode runs 48
+    # single-row programs per layer — per-program fixed cost dominates
+    if b % group != 0:
+        group = 1
+    g = group
 
     slot_arr = jnp.asarray(slot, jnp.int32).reshape(1, 1)
     pad_arr = pad_len.astype(jnp.int32).reshape(b, k_rows)
@@ -131,139 +138,140 @@ def self_attn_step_int8(qkv, k8, ks, v8, vs, pad_len, slot, *,
             return ((p[:, :d2] & 0xF)
                     | ((p[:, d2:] & 0xF) << 4)).astype(jnp.uint8)
 
-        q_all = qkv_ref[0, :, :d] * qscale              # (K, D)
-        k_new = qkv_ref[0, :, d : 2 * d]
-        v_new = qkv_ref[0, :, 2 * d : 3 * d]
-        k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
-        v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
-        if int4:
-            k8n_ref[0] = pack_rows(k8a)
-            v8n_ref[0] = pack_rows(v8a)
-        else:
-            k8n_ref[0] = k8a
-            v8n_ref[0] = v8a
-        ksn_ref[0] = ksc_heads
-        vsn_ref[0] = vsc_heads
-
-        # self-term dots for every (beam, head) at once: a segment-sum
-        # matmul over the head-indicator matrix replaces K*H serial
-        # multiply-reduce chains.  (A dot_general with N=1 trips a
-        # Mosaic vector.broadcast verifier bug; N=H here avoids it.)
-        # bf16-round the operands (as the MXU sees them when this entry
-        # is later read from the cache), multiply/accumulate in f32
-        prod_all = (q_all.astype(jnp.bfloat16).astype(jnp.float32)
-                    * k8a.astype(jnp.float32))          # (K, D)
-        d_self = jax.lax.dot_general(
-            prod_all, seg_dh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                               # (K, H)
-        s_self_all = d_self * ksc_heads                 # (K, H)
-
-        for j in range(k_rows):
-            # Q_diag: row hh = q's head-hh columns, zeros elsewhere
-            qd = jnp.where(
-                diag_mask, jnp.broadcast_to(q_all[j : j + 1], (hp, d)), 0.0)
-            qd = qd.astype(jnp.bfloat16)
-
+        for a in range(g):  # audios in this grid step
+            q_all = qkv_ref[a, :, :d] * qscale              # (K, D)
+            k_new = qkv_ref[a, :, d : 2 * d]
+            v_new = qkv_ref[a, :, 2 * d : 3 * d]
+            k8a, ksc_cols, ksc_heads = quantize_rows(k_new)
+            v8a, vsc_cols, vsc_heads = quantize_rows(v_new)
             if int4:
-                # packed keys: score each D/2-column half and sum — the
-                # full-D contraction distributes over the column split
-                klo, khi = _nibble_decode(k_ref[0, j])   # (len, D/2) i32
-                scores = jax.lax.dot_general(
-                    qd[:, :d2], klo.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    qd[:, d2:], khi.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                        # (HP, len)
+                k8n_ref[a] = pack_rows(k8a)
+                v8n_ref[a] = pack_rows(v8a)
             else:
-                keys = k_ref[0, j].astype(jnp.bfloat16)  # (len, D)
-                scores = jax.lax.dot_general(
-                    qd, keys, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                        # (HP, len)
-            row_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (hp, s_len), 0)
-            col_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (hp, s_len), 1)
-            scores = scores * ks_ref[0, j]               # (HP, len) scales
-            valid = ((col_iota < cur) & (col_iota >= pad_ref[prog, j])
-                     & (row_iota < h))
-            scores = jnp.where(valid, scores, NEG_INF)
+                k8n_ref[a] = k8a
+                v8n_ref[a] = v8a
+            ksn_ref[a] = ksc_heads
+            vsn_ref[a] = vsc_heads
 
-            # this beam's self scores, transposed from the (1, H) lane
-            # layout to score-aligned (HP, 1) rows via the tiny selector
-            # matmul (rows >= H get zero and never reach the merge)
-            s_self = jax.lax.dot_general(
-                hp_oh, s_self_all[j : j + 1], (((1,), (1,)), ((), ())),
+            # self-term dots for every (beam, head) at once: a segment-sum
+            # matmul over the head-indicator matrix replaces K*H serial
+            # multiply-reduce chains.  (A dot_general with N=1 trips a
+            # Mosaic vector.broadcast verifier bug; N=H here avoids it.)
+            # bf16-round the operands (as the MXU sees them when this entry
+            # is later read from the cache), multiply/accumulate in f32
+            prod_all = (q_all.astype(jnp.bfloat16).astype(jnp.float32)
+                        * k8a.astype(jnp.float32))          # (K, D)
+            d_self = jax.lax.dot_general(
+                prod_all, seg_dh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )                                            # (HP, 1)
+            )                                               # (K, H)
+            s_self_all = d_self * ksc_heads                 # (K, H)
 
-            m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
-            e = jnp.exp(scores - m)
-            e_self = jnp.exp(s_self - m)
-            denom = jnp.sum(e, axis=1, keepdims=True) + e_self
-            probs = e / denom                            # (HP, len)
-            p_self = e_self / denom                      # (HP, 1)
+            for j in range(k_rows):
+                # Q_diag: row hh = q's head-hh columns, zeros elsewhere
+                qd = jnp.where(
+                    diag_mask, jnp.broadcast_to(q_all[j : j + 1], (hp, d)), 0.0)
+                qd = qd.astype(jnp.bfloat16)
 
-            probs_scaled = (probs * vs_ref[0, j]).astype(jnp.bfloat16)
-            vq = (v8a[j : j + 1].astype(jnp.float32)
-                  * vsc_cols[j : j + 1])                 # (1, D)
-            if int4:
-                # value contraction is column-separable: compute and
-                # merge each packed half, write the two output slices
-                vlo, vhi = _nibble_decode(v_ref[0, j])   # (len, D/2) i32
-                out_lo = jax.lax.dot_general(
-                    probs_scaled, vlo.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
+                if int4:
+                    # packed keys: score each D/2-column half and sum — the
+                    # full-D contraction distributes over the column split
+                    klo, khi = _nibble_decode(k_ref[a, j])   # (len, D/2) i32
+                    scores = jax.lax.dot_general(
+                        qd[:, :d2], klo.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        qd[:, d2:], khi.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                        # (HP, len)
+                else:
+                    keys = k_ref[a, j].astype(jnp.bfloat16)  # (len, D)
+                    scores = jax.lax.dot_general(
+                        qd, keys, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                        # (HP, len)
+                row_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (hp, s_len), 0)
+                col_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (hp, s_len), 1)
+                scores = scores * ks_ref[a, j]               # (HP, len) scales
+                valid = ((col_iota < cur) & (col_iota >= pad_ref[prog * g + a, j])
+                         & (row_iota < h))
+                scores = jnp.where(valid, scores, NEG_INF)
+
+                # this beam's self scores, transposed from the (1, H) lane
+                # layout to score-aligned (HP, 1) rows via the tiny selector
+                # matmul (rows >= H get zero and never reach the merge)
+                s_self = jax.lax.dot_general(
+                    hp_oh, s_self_all[j : j + 1], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) + p_self * vq[:, :d2]                  # (HP, D/2)
-                out_hi = jax.lax.dot_general(
-                    probs_scaled, vhi.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + p_self * vq[:, d2:]
-                attn_ref[0, j : j + 1, :d2] = jnp.sum(
-                    jnp.where(diag_mask[:, :d2], out_lo, 0.0),
-                    axis=0, keepdims=True)
-                attn_ref[0, j : j + 1, d2:] = jnp.sum(
-                    jnp.where(diag_mask[:, d2:], out_hi, 0.0),
-                    axis=0, keepdims=True)
-            else:
-                vals = v_ref[0, j].astype(jnp.bfloat16)  # (len, D)
-                out_full = jax.lax.dot_general(
-                    probs_scaled, vals, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                        # (HP, D)
-                out_full = out_full + p_self * vq
-                merged = jnp.sum(
-                    jnp.where(diag_mask, out_full, 0.0),
-                    axis=0, keepdims=True,
-                )                                        # (1, D)
-                attn_ref[0, j : j + 1, :] = merged
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                            # (HP, 1)
+
+                m = jnp.maximum(jnp.max(scores, axis=1, keepdims=True), s_self)
+                e = jnp.exp(scores - m)
+                e_self = jnp.exp(s_self - m)
+                denom = jnp.sum(e, axis=1, keepdims=True) + e_self
+                probs = e / denom                            # (HP, len)
+                p_self = e_self / denom                      # (HP, 1)
+
+                probs_scaled = (probs * vs_ref[a, j]).astype(jnp.bfloat16)
+                vq = (v8a[j : j + 1].astype(jnp.float32)
+                      * vsc_cols[j : j + 1])                 # (1, D)
+                if int4:
+                    # value contraction is column-separable: compute and
+                    # merge each packed half, write the two output slices
+                    vlo, vhi = _nibble_decode(v_ref[a, j])   # (len, D/2) i32
+                    out_lo = jax.lax.dot_general(
+                        probs_scaled, vlo.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + p_self * vq[:, :d2]                  # (HP, D/2)
+                    out_hi = jax.lax.dot_general(
+                        probs_scaled, vhi.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + p_self * vq[:, d2:]
+                    attn_ref[a, j : j + 1, :d2] = jnp.sum(
+                        jnp.where(diag_mask[:, :d2], out_lo, 0.0),
+                        axis=0, keepdims=True)
+                    attn_ref[a, j : j + 1, d2:] = jnp.sum(
+                        jnp.where(diag_mask[:, d2:], out_hi, 0.0),
+                        axis=0, keepdims=True)
+                else:
+                    vals = v_ref[a, j].astype(jnp.bfloat16)  # (len, D)
+                    out_full = jax.lax.dot_general(
+                        probs_scaled, vals, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                        # (HP, D)
+                    out_full = out_full + p_self * vq
+                    merged = jnp.sum(
+                        jnp.where(diag_mask, out_full, 0.0),
+                        axis=0, keepdims=True,
+                    )                                        # (1, D)
+                    attn_ref[a, j : j + 1, :] = merged
 
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # slot (1,1)
             pl.BlockSpec(memory_space=pltpu.SMEM),            # pad (B,K)
-            pl.BlockSpec((1, k_rows, d3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, s_len, d_store), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((g, k_rows, hp, s_len), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, k_rows, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, d_store), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k_rows, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, d_store), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, h), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, d_store), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, k_rows, h), lambda i: (i, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k_rows, d), jnp.float32),
