@@ -63,7 +63,14 @@ def main() -> None:
                              "engine.transcribe programs")
     parser.add_argument("--dry-run", action="store_true",
                         help="list the programs without compiling")
+    parser.add_argument("--cpu", action="store_true",
+                        help="CPU backend smoke (micro models; the axon "
+                             "sitecustomize pins the TPU otherwise)")
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ttasr.core.census import census
 
