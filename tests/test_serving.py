@@ -659,3 +659,65 @@ def test_vad_pending_never_holds_priority(engine):
     # decodes at once (compile is cached); the 2 s starvation bound
     # would show up here if the priority exemption regressed
     assert asyncio.run(run()) < 1.5
+
+
+def test_wave_coalescing_keeps_sweeps_full():
+    """Staggered prompt-carry seek loops converge to full sweeps.
+
+    Round-5 e2e regression: 8 concurrent files phase-locked at
+    half-full sweeps (22 device steps for 88 windows instead of 11)
+    because a partial bulk group dispatched before the just-resolved
+    clients could resubmit.  With session-scoped wave coalescing the
+    steady state must reach full (= n_files) sweeps.  Scheduler-level
+    test: fake engine, fake decode — no device work."""
+    import time as _time
+
+    from ttasr.engine.serving import WindowResult
+
+    class _TI:
+        eot = 50257
+
+    class FakeEngine:
+        ti = _TI()
+        kv_cache_int8 = False
+
+    n_files, windows = 6, 8
+    sweeps = []
+
+    async def run():
+        server = BatchServer(FakeEngine(), slots=n_files, beam_size=5,
+                             pipeline_groups=2)
+
+        def fake_decode(batch):
+            sweeps.append(len(batch))
+            _time.sleep(0.08)
+            return [WindowResult(tokens=[1, 2], sum_logprob=-0.2,
+                                 avg_logprob=-0.1, no_speech_prob=0.0)
+                    for _ in batch]
+
+        server._decode_batch = fake_decode
+        await server.start()
+
+        async def client(i):
+            await asyncio.sleep(i * 0.03)    # serialized-VAD stagger
+            prompt = [50258]
+            with server.session():
+                for _ in range(windows):
+                    res = await server.transcribe_window(
+                        np.zeros(1600, np.float32), prompt)
+                    _time.sleep(0.003 + (i % 3) * 0.004)  # host postproc
+                    prompt = list(res.tokens)
+
+        try:
+            await asyncio.gather(*[client(i) for i in range(n_files)])
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+    assert sum(sweeps) == n_files * windows
+    # steady state reaches full sweeps (phase-locked scheduling never
+    # produced a single full group: sizes plateaued at n_files/2)
+    assert max(sweeps) == n_files, sweeps
+    # and holds them: at least a third of all windows ride full sweeps
+    full = sum(s for s in sweeps if s == n_files)
+    assert full >= (n_files * windows) // 3, sweeps

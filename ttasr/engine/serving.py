@@ -34,6 +34,7 @@ scaling of slots, not long attention (SURVEY.md §2.3).
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import dataclasses
 import logging
 import os
@@ -198,6 +199,17 @@ class BatchServer:
         self.pipeline_groups = max(1, int(pipeline_groups))
         self._last_priority_ts = 0.0
         self._priority_quiet_s = 5.0
+        # active seek-loop sessions (transcribe_with_server).  The
+        # scheduler holds a PARTIAL bulk sweep for up to _wave_wait_s
+        # while fewer windows are pending than there are sessions:
+        # just-resolved prompt-carry clients resubmit within ms, and
+        # dispatching before they do phase-locks the server at
+        # half-full sweeps (round-5 e2e regression: 22 half-full
+        # sweeps for 88 windows vs 11 full ones — see
+        # tools/repro_sweep_frag.py).
+        self._active_sessions = 0
+        self._wave_wait_s = float(
+            os.environ.get("TTASR_WAVE_WAIT_MS", "250") or 250) / 1000.0
         self._rng_lock = threading.Lock()
         self._rng_seq = 0
         # a group whose oldest request waited this long decodes next
@@ -271,6 +283,22 @@ class BatchServer:
                                               if self._queue else 0)}
 
     # -- request path --------------------------------------------------------
+
+    @contextlib.contextmanager
+    def session(self):
+        """Mark a seek-loop session active for wave coalescing.
+
+        ``transcribe_with_server`` wraps its window loop in this; the
+        scheduler then knows how many prompt-carry clients are live and
+        waits (bounded by ``TTASR_WAVE_WAIT_MS``) for all of them to
+        resubmit before dispatching a partial bulk sweep — a partial
+        sweep costs the same fixed-shape device program as a full one.
+        """
+        self._active_sessions += 1
+        try:
+            yield
+        finally:
+            self._active_sessions -= 1
 
     async def transcribe_window(self, audio: np.ndarray,
                                 prompt_ids: Sequence[int], *,
@@ -408,6 +436,31 @@ class BatchServer:
                         self._queue.get(), timeout=0.02))
                 except asyncio.TimeoutError:
                     pass
+            # wave coalescing: with fewer bulk windows pending than
+            # there are active seek-loop sessions, the missing clients
+            # were just resolved and resubmit within ms (prompt parse +
+            # tokenize); dispatching before they do phase-locks the
+            # server at partial sweeps for the rest of the run.  The
+            # sleep(0) tick lets just-resolved clients run to their
+            # queue.put; the deadline bounds a session stuck in a slow
+            # host phase (fallback rung, file tail).
+            if (pending and prev_fut is None
+                    and not any(r.priority > 0 for r in pending)):
+                wave_deadline = time.time() + self._wave_wait_s
+                while (not self._stop and pending
+                       and len(pending) < min(self.slots,
+                                              self._active_sessions)
+                       and not any(r.priority > 0 for r in pending)
+                       and time.time() < wave_deadline
+                       and (time.time()
+                            - min(r.submitted_at for r in pending)
+                            < self.starvation_s)):
+                    await asyncio.sleep(0)
+                    try:
+                        pending.append(await asyncio.wait_for(
+                            self._queue.get(), timeout=0.01))
+                    except asyncio.TimeoutError:
+                        pass
             if prev_fut is not None and not any(
                     r.priority > 0 for r in pending):
                 # about to consider BULK pre-dispatch: give every ready

@@ -624,72 +624,75 @@ class WhisperEngine:
         segments: List[Segment] = []
         seg_id = 0
 
-        while seek < content_frames:
-            time_offset = seek * HOP_LENGTH / SAMPLE_RATE
-            window = audio[seek * HOP_LENGTH : seek * HOP_LENGTH + N_SAMPLES]
-            segment_frames = min(N_FRAMES, content_frames - seek)
-            segment_duration = segment_frames * HOP_LENGTH / SAMPLE_RATE
+        # session scope: lets the server wave-coalesce partial
+        # bulk sweeps across concurrent prompt-carry files
+        with server.session():
+            while seek < content_frames:
+                time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+                window = audio[seek * HOP_LENGTH : seek * HOP_LENGTH + N_SAMPLES]
+                segment_frames = min(N_FRAMES, content_frames - seek)
+                segment_duration = segment_frames * HOP_LENGTH / SAMPLE_RATE
 
-            previous = (all_tokens[prompt_reset_since:]
-                        if opts.condition_on_previous_text else [])
-            prompt_ids = build_prompt(
-                tok, language=opts.language or "zh", task=opts.task,
-                without_timestamps=opts.without_timestamps,
-                prefix_tokens=(tok.encode(" " + opts.prefix.strip())
-                               if opts.prefix else ()),
-                previous_tokens=previous,
-                initial_prompt_tokens=() if previous else initial_prompt_tokens,
-            )
-            result, ratio, temperature = await self._decode_with_fallback_server(
-                server, window, prompt_ids, opts,
-                return_enc=opts.word_timestamps,
-            )
-            tokens = result.tokens
-            avg_logprob = result.avg_logprob
-            no_speech_prob = result.no_speech_prob
-
-            if (opts.no_speech_threshold is not None
-                    and no_speech_prob > opts.no_speech_threshold):
-                should_skip = True
-                if (opts.log_prob_threshold is not None
-                        and avg_logprob > opts.log_prob_threshold):
-                    should_skip = False  # confident despite no_speech
-                if should_skip:
-                    seek += segment_frames
-                    continue
-
-            new_segments, seek_advance = self._parse_window_tokens(
-                tokens, time_offset, segment_duration, segment_frames
-            )
-            window_words = None
-            if opts.word_timestamps and any(s[0] for s in new_segments):
-                window_words = self._align_window_words(
-                    [t for s in new_segments for t in s[0]], result.enc,
-                    time_offset,
+                previous = (all_tokens[prompt_reset_since:]
+                            if opts.condition_on_previous_text else [])
+                prompt_ids = build_prompt(
+                    tok, language=opts.language or "zh", task=opts.task,
+                    without_timestamps=opts.without_timestamps,
+                    prefix_tokens=(tok.encode(" " + opts.prefix.strip())
+                                   if opts.prefix else ()),
+                    previous_tokens=previous,
+                    initial_prompt_tokens=() if previous else initial_prompt_tokens,
                 )
-            for s_tokens, s_start, s_end in new_segments:
-                text = tok.decode(s_tokens)
-                if not text.strip():
-                    continue
-                seg_words = None
-                if window_words is not None:
-                    seg_words = [
-                        w for w in window_words
-                        if s_start - 0.01 <= (w.start + w.end) / 2 <= s_end + 0.5
-                    ]
-                segments.append(Segment(
-                    id=seg_id, seek=seek, start=s_start, end=s_end, text=text,
-                    tokens=s_tokens, avg_logprob=avg_logprob,
-                    compression_ratio=ratio, no_speech_prob=no_speech_prob,
-                    temperature=temperature, words=seg_words,
-                ))
-                seg_id += 1
-                all_tokens.extend(s_tokens)
+                result, ratio, temperature = await self._decode_with_fallback_server(
+                    server, window, prompt_ids, opts,
+                    return_enc=opts.word_timestamps,
+                )
+                tokens = result.tokens
+                avg_logprob = result.avg_logprob
+                no_speech_prob = result.no_speech_prob
 
-            if temperature > opts.prompt_reset_on_temperature:
-                prompt_reset_since = len(all_tokens)
+                if (opts.no_speech_threshold is not None
+                        and no_speech_prob > opts.no_speech_threshold):
+                    should_skip = True
+                    if (opts.log_prob_threshold is not None
+                            and avg_logprob > opts.log_prob_threshold):
+                        should_skip = False  # confident despite no_speech
+                    if should_skip:
+                        seek += segment_frames
+                        continue
 
-            seek += seek_advance
+                new_segments, seek_advance = self._parse_window_tokens(
+                    tokens, time_offset, segment_duration, segment_frames
+                )
+                window_words = None
+                if opts.word_timestamps and any(s[0] for s in new_segments):
+                    window_words = self._align_window_words(
+                        [t for s in new_segments for t in s[0]], result.enc,
+                        time_offset,
+                    )
+                for s_tokens, s_start, s_end in new_segments:
+                    text = tok.decode(s_tokens)
+                    if not text.strip():
+                        continue
+                    seg_words = None
+                    if window_words is not None:
+                        seg_words = [
+                            w for w in window_words
+                            if s_start - 0.01 <= (w.start + w.end) / 2 <= s_end + 0.5
+                        ]
+                    segments.append(Segment(
+                        id=seg_id, seek=seek, start=s_start, end=s_end, text=text,
+                        tokens=s_tokens, avg_logprob=avg_logprob,
+                        compression_ratio=ratio, no_speech_prob=no_speech_prob,
+                        temperature=temperature, words=seg_words,
+                    ))
+                    seg_id += 1
+                    all_tokens.extend(s_tokens)
+
+                if temperature > opts.prompt_reset_on_temperature:
+                    prompt_reset_since = len(all_tokens)
+
+                seek += seek_advance
 
         if speech_chunks is not None and segments:
             ts_map = SpeechTimestampsMap(speech_chunks, SAMPLE_RATE)
