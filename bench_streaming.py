@@ -159,11 +159,19 @@ async def run(args) -> dict:
         ])
 
         latencies, firsts = [], []
+
+        async def paced(i):
+            # --stagger-s spreads stream starts (organic connects); 0 =
+            # worst-case thundering herd, where the first sweep batches
+            # every stream's first chunk and decodes to the max row's
+            # token count (the p95 driver at simultaneous starts)
+            await asyncio.sleep(i * args.stagger_s)
+            return await _stream_one(client, "/ws/stt", i, args.seconds,
+                                     latencies, firsts)
+
         t0 = time.perf_counter()
-        counts = await asyncio.gather(*[
-            _stream_one(client, "/ws/stt", i, args.seconds, latencies, firsts)
-            for i in range(args.streams)
-        ])
+        counts = await asyncio.gather(*[paced(i)
+                                        for i in range(args.streams)])
         elapsed = time.perf_counter() - t0
     finally:
         await client.close()
@@ -204,6 +212,7 @@ async def run(args) -> dict:
         "model": args.model,
         "slots": args.slots,
         "wall_s": round(elapsed, 2),
+        "stagger_s": args.stagger_s,
         "by_window_bucket": by_bucket,
         "raw_first16": raw,
     }
@@ -216,6 +225,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=12.0)
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--compute", default="bfloat16")
+    ap.add_argument("--stagger-s", type=float, default=0.0,
+                    help="per-stream start offset (0 = thundering herd)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs)")
     args = ap.parse_args()
