@@ -721,3 +721,67 @@ def test_wave_coalescing_keeps_sweeps_full():
     # and holds them: at least a third of all windows ride full sweeps
     full = sum(s for s in sweeps if s == n_files)
     assert full >= (n_files * windows) // 3, sweeps
+
+
+def test_partial_saturation_gather_coalesces_unaligned_streams():
+    """Unaligned streaming partials coalesce once saturated.
+
+    Round-5 stagger soak: streams whose chunk cadences are NOT aligned
+    each rode a solo near-fixed-cost sweep, running the device at duty
+    ~1.0; relay noise then backlogged scratch into bigger window
+    buckets and p95 went 0.46 -> 18.9 s.  Under saturation (priority
+    arrivals already waiting when a priority sweep's fetch completes)
+    the scheduler now gathers partials for up to TTASR_PARTIAL_GATHER_MS
+    before dispatching, so sweeps carry several rows and duty drops
+    below 1.  Scheduler-level test: fake engine, fake decode."""
+    import time as _time
+
+    from ttasr.engine.serving import WindowResult
+
+    class _TI:
+        eot = 50257
+
+    class FakeEngine:
+        ti = _TI()
+        kv_cache_int8 = False
+
+    n_streams, per_stream = 6, 5
+    sweeps = []
+
+    async def run():
+        server = BatchServer(FakeEngine(), slots=8, beam_size=5)
+
+        def fake_decode(batch):
+            sweeps.append(len(batch))
+            _time.sleep(0.1)           # near-fixed-cost device program
+            return [WindowResult(tokens=[1, 2], sum_logprob=-0.2,
+                                 avg_logprob=-0.1, no_speech_prob=0.0)
+                    for _ in batch]
+
+        server._decode_batch = fake_decode
+        await server.start()
+
+        async def stream(i):
+            # open loop: partials fire on the chunk cadence regardless
+            # of when earlier ones resolve (the streaming reality)
+            await asyncio.sleep(i * 0.05)
+            futs = []
+            for _ in range(per_stream):
+                futs.append(asyncio.ensure_future(server.transcribe_window(
+                    np.zeros(1600, np.float32), [1], priority=1)))
+                await asyncio.sleep(0.25)
+            await asyncio.gather(*futs)
+
+        try:
+            await asyncio.gather(*[stream(i) for i in range(n_streams)])
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+    total = n_streams * per_stream
+    assert sum(sweeps) == total
+    # saturation gather must produce multi-row sweeps (eager solo
+    # dispatch would plateau at 1-2 rows per sweep)
+    assert max(sweeps) >= 4, sweeps
+    # and meaningfully fewer programs than partials
+    assert len(sweeps) <= total - 8, sweeps

@@ -199,6 +199,22 @@ class BatchServer:
         self.pipeline_groups = max(1, int(pipeline_groups))
         self._last_priority_ts = 0.0
         self._priority_quiet_s = 5.0
+        self._prev_is_priority = False   # in-flight sweep carries partials
+        # Priority-partial saturation: a sweep is near-fixed-cost in
+        # rows (weight streaming dominates), so UNALIGNED streams that
+        # each ride a solo sweep run the device at duty ~1.0 — any
+        # relay noise then backlogs scratch into the 15/30 s window
+        # buckets whose sweeps cost 2-3x, and the overload feeds itself
+        # (10-stream stagger soak: p95 0.46 -> 18.9 s).  When a
+        # priority sweep finishes with more partials already waiting,
+        # the server is saturated: gather arrivals for up to
+        # TTASR_PARTIAL_GATHER_MS before the next priority dispatch so
+        # sweeps carry multiple rows (duty = cost/(cost+gather) < 1
+        # restores headroom).  Unsaturated (solo stream, cadence-
+        # aligned herd) dispatch stays immediate — zero added latency.
+        self._priority_saturated = False
+        self._partial_gather_s = float(
+            os.environ.get("TTASR_PARTIAL_GATHER_MS", "250") or 250) / 1000.0
         # active seek-loop sessions (transcribe_with_server).  The
         # scheduler holds a PARTIAL bulk sweep for up to _wave_wait_s
         # while fewer windows are pending than there are sessions:
@@ -360,7 +376,14 @@ class BatchServer:
         if self.pipeline_groups < 2:
             return False
         if any(r.priority > 0 for r in pending):
-            return True
+            # Behind a BULK decode: pre-dispatch (the partial queues on
+            # the device ahead of the bulk fetch — strictly sooner than
+            # waiting).  Behind another PRIORITY sweep while SATURATED:
+            # wait for its fetch instead, so partials from unaligned
+            # streams coalesce into one next sweep (see the gather
+            # logic in _run for the saturation story).
+            return not (self._prev_is_priority
+                        and self._priority_saturated)
         if not self._queue.empty():
             return False          # finish + re-rank with the arrivals
         return (time.time() - self._last_priority_ts) > self._priority_quiet_s
@@ -381,6 +404,15 @@ class BatchServer:
         self._inflight = [r for r in self._inflight if id(r) not in gone]
         self._steps += 1
         self._served += len(group)
+        if any(r.priority > 0 for r in group):
+            # PRIORITY arrivals already waiting at a priority fetch =
+            # the sweep rate can't keep up with the partial arrival
+            # rate (bulk backlog doesn't count — bulk has its own
+            # coalescing and must not slow partials down)
+            qd = getattr(self._queue, "_queue", ()) if self._queue else ()
+            self._priority_saturated = (
+                any(r.priority > 0 for r in self._pool)
+                or any(r.priority > 0 for r in qd))
 
     async def _run(self) -> None:
         # lazy: transcriber imports serving lazily in methods; importing
@@ -461,6 +493,22 @@ class BatchServer:
                             self._queue.get(), timeout=0.01))
                     except asyncio.TimeoutError:
                         pass
+            # saturation gather: the partial arrival rate has outrun the
+            # solo-sweep rate (see _priority_saturated above) — hold the
+            # next priority dispatch briefly so concurrent streams'
+            # partials share one sweep.  Skipped entirely when
+            # unsaturated, so a lone stream / aligned herd keeps its
+            # one-sweep latency bound.
+            if (pending and prev_fut is None and self._priority_saturated
+                    and any(r.priority > 0 for r in pending)):
+                gather_deadline = time.time() + self._partial_gather_s
+                while (not self._stop and len(pending) < self.slots
+                       and time.time() < gather_deadline):
+                    try:
+                        pending.append(await asyncio.wait_for(
+                            self._queue.get(), timeout=0.02))
+                    except asyncio.TimeoutError:
+                        pass
             if prev_fut is not None and not any(
                     r.priority > 0 for r in pending):
                 # about to consider BULK pre-dispatch: give every ready
@@ -529,6 +577,7 @@ class BatchServer:
             if prev_fut is not None:
                 await self._finish(prev_group, prev_fut)
             prev_group, prev_fut = group, fut
+            self._prev_is_priority = any(r.priority > 0 for r in group)
 
     # -- device work (runs in executor thread) -------------------------------
 
