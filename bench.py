@@ -30,7 +30,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
               compute: str, repeats: int = 3, kv_int8: bool = True,
               cross_kv_int8: bool = False, cross_kv_int4: bool = False,
-              kv_int4: bool = True, encoder_act_int8: bool = True) -> dict:
+              kv_int4: bool = True, encoder_act_int8: bool = True,
+              encoder_fused_quant: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -94,10 +95,11 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
     decode_fn = beam_decode if beam > 1 else greedy_decode
 
     act8 = None if encoder_act_int8 else False
+    fq = None if encoder_fused_quant else False
 
     def full_pipeline(params, audio, prompt, pad, key):
         mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
-        enc_out = encode(params, cfg, mel, act_int8=act8)
+        enc_out = encode(params, cfg, mel, act_int8=act8, fused_quant=fq)
         return decode_fn(params, cfg, enc_out, prompt, pad, key,
                          opts=opts, ti=ti)
 
@@ -118,12 +120,29 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 
+    # steady-state: dispatch N batches back-to-back (distinct audio
+    # buffers) and sync once — the host->device PCM upload of batch
+    # i+1 overlaps batch i's compute, which is the serving regime
+    # (BatchServer's depth-2 pipelined dispatch).  The per-call number
+    # above remains the headline; this isolates how much of it is
+    # relay upload that production hides.
+    audios = [np.asarray((rng.standard_normal((batch, N_SAMPLES)) * 0.1
+                          * 32767.0).clip(-32768, 32767), np.int16)
+              for _ in range(repeats)]
+    outs = [jitted(params, a, prompt, pad, key) for a in audios[:1]]
+    np.asarray(outs[0]["tokens"])  # absorb any lingering warmup
+    t0 = time.perf_counter()
+    outs = [jitted(params, a, prompt, pad, key) for a in audios]
+    for o in outs:
+        np.asarray(o["tokens"])
+    pipelined = (time.perf_counter() - t0) / len(audios)
+
     # Encoder stage alone (scalar reduce: fetching the (B,1500,d) states
     # through the axon relay would dominate the measurement)
     def enc_only(params, audio):
         mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
-        return jnp.sum(encode(params, cfg, mel,
-                              act_int8=act8).astype(jnp.float32))
+        return jnp.sum(encode(params, cfg, mel, act_int8=act8,
+                              fused_quant=fq).astype(jnp.float32))
 
     enc_jitted = jax.jit(enc_only)
     np.asarray(enc_jitted(params, audio))  # compile
@@ -146,9 +165,11 @@ def run_bench(model_name: str, batch: int, decode_tokens: int, beam: int,
 
     audio_seconds = batch * 30.0
     rtf = elapsed / audio_seconds
+    rtf_pipelined = pipelined / audio_seconds
     lengths = np.asarray(out["lengths"])
     return {
         "rtf": rtf,
+        "rtf_pipelined": rtf_pipelined,
         "elapsed_s": elapsed,
         "compile_s": compile_time,
         "cache_entries_start": cache_entries_start,
@@ -204,6 +225,11 @@ def main() -> None:
                         help="disable s8xs8 encoder block matmuls "
                              "(dynamic activation quantization; default "
                              "on for --compute int8)")
+    parser.add_argument("--no-encoder-fused-quant", dest="encoder_fused_quant",
+                        action="store_false", default=True,
+                        help="disable the one-pass Pallas producer+quantize "
+                             "encoder kernels (ln/add_ln/gelu + int8 "
+                             "quantize fused; default on with act-int8)")
     args = parser.parse_args()
 
     cross = args.cross_kv_int8
@@ -213,7 +239,8 @@ def main() -> None:
                       args.compute, args.repeats, kv_int8=not args.no_kv_int8,
                       cross_kv_int8=cross, cross_kv_int4=args.cross_kv_int4,
                       kv_int4=args.kv_int4,
-                      encoder_act_int8=args.encoder_act_int8)
+                      encoder_act_int8=args.encoder_act_int8,
+                      encoder_fused_quant=args.encoder_fused_quant)
     baseline_rtf = 0.1  # reference GPU RTF (README.md:106)
     print(json.dumps({
         "metric": f"whisper-{args.model}_rtf_per_chip",
@@ -225,6 +252,7 @@ def main() -> None:
             "beam_size": args.beam,
             "decode_tokens_per_window": args.decode_tokens,
             "elapsed_s": round(stats["elapsed_s"], 3),
+            "rtf_pipelined": round(stats["rtf_pipelined"], 5),
             "compile_s": round(stats["compile_s"], 1),
             "cold_start": stats["cache_entries_start"] == 0,
             "tokens_per_s": round(stats["tokens_per_s"], 1),

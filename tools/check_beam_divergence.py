@@ -55,12 +55,15 @@ def main():
                         "bounds the int4 quantization error at the "
                         "recognition level, not just kernel numerics")
     p.add_argument("--ab", default="kernels",
-                   choices=["kernels", "encoder-act8"],
+                   choices=["kernels", "encoder-act8", "encoder-fused-quant"],
                    help="kernels: fused-vs-unfused decode kernels "
                         "(encoder act-int8 off in both). encoder-act8: "
                         "same unfused decode, encoder s8xs8 on vs off — "
                         "bounds the activation-quantization error at the "
-                        "recognition level")
+                        "recognition level. encoder-fused-quant: act8 on "
+                        "in both, one-pass Pallas producer+quantize "
+                        "kernels + qkv-direct attention on vs the XLA "
+                        "quantize chains (VERDICT r4 #4)")
     p.add_argument("--out-json", default=None)
     args = p.parse_args()
     if args.cross_int4 and args.ab != "kernels":
@@ -105,22 +108,27 @@ def main():
     prompt, pad = pad_prompts([prompt_ids] * args.windows, tok.eot)
     key = jax.random.PRNGKey(0)
 
-    @functools.partial(jax.jit, static_argnames=("o", "act8"))
-    def pipeline(prms, audio, prompt, pad, key, o, act8):
+    @functools.partial(jax.jit, static_argnames=("o", "act8", "fq"))
+    def pipeline(prms, audio, prompt, pad, key, o, act8, fq=None):
         mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
-        enc_out = encode(prms, cfg, mel, act_int8=act8)
+        enc_out = encode(prms, cfg, mel, act_int8=act8, fused_quant=fq)
         return beam_decode(prms, cfg, enc_out, prompt, pad, key,
                            opts=o, ti=ti)
 
     if args.ab == "kernels":
-        legs = (("unfused", qparams, opts, False),
-                ("fused", fparams, opts_fused, False))
-    else:  # encoder-act8: identical unfused decode, encoder s8xs8 A/B
-        legs = (("unfused", qparams, opts, False),
-                ("fused", qparams, opts, True))
+        legs = (("unfused", qparams, opts, False, None),
+                ("fused", fparams, opts_fused, False, None))
+    elif args.ab == "encoder-act8":
+        # identical unfused decode, encoder s8xs8 A/B (XLA quant chains
+        # in both legs so the bound isolates activation quantization)
+        legs = (("unfused", qparams, opts, False, None),
+                ("fused", qparams, opts, True, False))
+    else:  # encoder-fused-quant: act8 both legs, fused glue on vs off
+        legs = (("unfused", fparams, opts, True, False),
+                ("fused", fparams, opts, True, True))
     results = {}
-    for name, prms, o, act8 in legs:
-        out = pipeline(prms, audio, prompt, pad, key, o, act8)
+    for name, prms, o, act8, fq in legs:
+        out = pipeline(prms, audio, prompt, pad, key, o, act8, fq)
         results[name] = {
             "tokens": np.asarray(out["tokens"]),
             "lengths": np.asarray(out["lengths"]),

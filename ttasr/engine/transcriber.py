@@ -181,7 +181,8 @@ class WhisperEngine:
                  mesh: Optional[Any] = None,
                  cross_kv_int4: bool = True,
                  kv_int4: bool = True,
-                 encoder_act_int8: bool = True):
+                 encoder_act_int8: bool = True,
+                 encoder_fused_quant: bool = True):
         import jax.numpy as jnp
 
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
@@ -244,6 +245,10 @@ class WhisperEngine:
         # 2x the bf16 MXU rate on v5e).  encoder_act_int8=False forces
         # bf16 compute on quantized weights.
         _act8 = None if encoder_act_int8 else False
+        # one-pass Pallas producer+quantize kernels on the act8 path
+        # (ln_quant / add_ln_quant / gelu_quant / quant_only — VERDICT
+        # r4 #4); False keeps the XLA quantize chains for A/B
+        _fq = None if encoder_fused_quant else False
 
         def _mel_encode(params, audio):
             # callers pad host-side to the window length (30 s, or a
@@ -252,7 +257,8 @@ class WhisperEngine:
             # mel+encode per window bucket, S = samples/320 positions
             mel = log_mel_spectrogram(audio, n_mels=_cfg.num_mel_bins,
                                       pad_to_chunk=False)
-            return encode(params, _cfg, mel, act_int8=_act8)
+            return encode(params, _cfg, mel, act_int8=_act8,
+                          fused_quant=_fq)
 
         # ONE jitted program per batch size: calling the 32-layer encoder
         # eagerly costs hundreds of per-op dispatches through the axon

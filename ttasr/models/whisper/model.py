@@ -222,7 +222,8 @@ def _mlp(x, blk):
     return _proj(h, blk["w2"], blk["b2"])
 
 
-def _self_attn_act8(x, blk, n_heads, t_real, *, interpret: bool = False):
+def _self_attn_act8(x, blk, n_heads, t_real, *, interpret: bool = False,
+                    x_quant=None, fused_quant: bool = False):
     """Merged-layout encoder attention with s8 x s8 projections.
 
     Activations are dynamically quantized per row (quantize_act) so the
@@ -232,6 +233,11 @@ def _self_attn_act8(x, blk, n_heads, t_real, *, interpret: bool = False):
     kernel.  The q pre-scale dh**-0.5 folds into the row scales and
     bias (no extra pass).  CTranslate2-equivalent compute scheme
     (reference runs compute_type="int8", file_asr.py:188).
+
+    ``x_quant``: optional pre-quantized (codes, scales) for x — the
+    fused ln_quant kernel produces it in the same pass as the
+    layernorm.  ``fused_quant`` routes the attention-output quantize
+    through the one-pass Pallas kernel (ops.encoder_fused_pallas).
     """
     from ttasr.ops.encoder_attention_pallas import encoder_attention_merged
     from ttasr.ops.quant import quant_matmul_act8, quantize_act
@@ -239,40 +245,82 @@ def _self_attn_act8(x, blk, n_heads, t_real, *, interpret: bool = False):
     dh = x.shape[-1] // n_heads
     qs = dh ** -0.5
     d = x.shape[-1]
-    xq, xs = quantize_act(x)
-    if "wqkv" in blk:
-        # fused (D, 3D) projection: one s8 x s8 dot instead of three —
-        # each XLA s8 dot costs ~77 s of cold compile (probe_s8_matmul)
-        # and the wider matmul fills the MXU better.  The q pre-scale
-        # applies post-slice (XLA fuses it into the epilogue).
-        qkv = quant_matmul_act8(xq, xs, blk["wqkv"], blk["bqkv"],
-                                out_dtype=jnp.float32)
-        qm = (qkv[..., :d] * qs).astype(x.dtype)
-        km = qkv[..., d:2 * d].astype(x.dtype)
-        vm = qkv[..., 2 * d:].astype(x.dtype)
+    xq, xs = x_quant if x_quant is not None else quantize_act(x)
+    import os as _os
+
+    qkv_direct = _os.environ.get("TTASR_ENC_QKV_DIRECT", "1") != "0"
+    if "wqkv" in blk and fused_quant and qkv_direct:
+        # fused (D, 3D) projection feeding the attention kernel
+        # DIRECTLY: the dh**-0.5 pre-scale folds into the q-third of
+        # the weight scales + bias (f32, exact), the dot's epilogue
+        # emits bf16 merged-layout qkv, and the kernel reads q tiles /
+        # K/V panels as strided views — no qm/km/vm materialization
+        # (encoder_attention_pallas.encoder_attention_merged_qkv).
+        from ttasr.ops.encoder_attention_pallas import (
+            encoder_attention_merged_qkv,
+        )
+
+        w = blk["wqkv"]
+        colscale = jnp.concatenate(
+            [jnp.full((d,), qs, jnp.float32),
+             jnp.ones((2 * d,), jnp.float32)])
+        leaf = {"q": w["q"], "s": w["s"] * colscale}
+        qkv = quant_matmul_act8(xq, xs, leaf, blk["bqkv"] * colscale,
+                                out_dtype=x.dtype)
+        out_m = encoder_attention_merged_qkv(qkv, t_real,
+                                             interpret=interpret)
     else:
-        qm = quant_matmul_act8(xq, xs * qs, blk["wq"], blk["bq"] * qs,
-                               out_dtype=x.dtype)
-        km = quant_matmul_act8(xq, xs, blk["wk"], out_dtype=x.dtype)
-        vm = quant_matmul_act8(xq, xs, blk["wv"], blk["bv"],
-                               out_dtype=x.dtype)
-    out_m = encoder_attention_merged(qm, km, vm, t_real, interpret=interpret)
-    oq, os_ = quantize_act(out_m)
+        if "wqkv" in blk:
+            # fused (D, 3D) projection: one s8 x s8 dot instead of
+            # three — each XLA s8 dot costs ~77 s of cold compile
+            # (probe_s8_matmul) and the wider matmul fills the MXU
+            # better.  The q pre-scale applies post-slice (XLA fuses
+            # it into the epilogue).
+            qkv = quant_matmul_act8(xq, xs, blk["wqkv"], blk["bqkv"],
+                                    out_dtype=jnp.float32)
+            qm = (qkv[..., :d] * qs).astype(x.dtype)
+            km = qkv[..., d:2 * d].astype(x.dtype)
+            vm = qkv[..., 2 * d:].astype(x.dtype)
+        else:
+            qm = quant_matmul_act8(xq, xs * qs, blk["wq"], blk["bq"] * qs,
+                                   out_dtype=x.dtype)
+            km = quant_matmul_act8(xq, xs, blk["wk"], out_dtype=x.dtype)
+            vm = quant_matmul_act8(xq, xs, blk["wv"], blk["bv"],
+                                   out_dtype=x.dtype)
+        out_m = encoder_attention_merged(qm, km, vm, t_real,
+                                         interpret=interpret)
+    if fused_quant:
+        from ttasr.ops.encoder_fused_pallas import quant_only
+
+        oq, os_ = quant_only(out_m, interpret=interpret)
+    else:
+        oq, os_ = quantize_act(out_m)
     return quant_matmul_act8(oq, os_, blk["wo"], blk["bo"],
                              out_dtype=x.dtype)
 
 
-def _mlp_act8(x, blk):
-    """Encoder MLP with s8 x s8 matmuls (dynamic activation quant)."""
+def _mlp_act8(x, blk, *, x_quant=None, fused_quant: bool = False,
+              interpret: bool = False):
+    """Encoder MLP with s8 x s8 matmuls (dynamic activation quant).
+
+    ``x_quant``/``fused_quant`` as in _self_attn_act8: the input codes
+    come fused with the preceding layernorm (add_ln_quant) and the
+    hidden quantize fuses with the exact GELU (gelu_quant) — one HBM
+    pass over the (B, T, 4D) hidden instead of three.
+    """
     from ttasr.ops.quant import quant_matmul_act8, quantize_act
 
-    xq, xs = quantize_act(x)
-    h = jax.nn.gelu(
-        quant_matmul_act8(xq, xs, blk["w1"], blk["b1"], out_dtype=x.dtype),
-        approximate=False)
-    hq, hs = quantize_act(h)
+    xq, xs = x_quant if x_quant is not None else quantize_act(x)
+    h = quant_matmul_act8(xq, xs, blk["w1"], blk["b1"], out_dtype=(
+        jnp.bfloat16 if x_quant is not None else x.dtype))
+    if fused_quant:
+        from ttasr.ops.encoder_fused_pallas import gelu_quant
+
+        hq, hs = gelu_quant(h, interpret=interpret)
+    else:
+        hq, hs = quantize_act(jax.nn.gelu(h, approximate=False))
     return quant_matmul_act8(hq, hs, blk["w2"], blk["b2"],
-                             out_dtype=x.dtype)
+                             out_dtype=h.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +329,8 @@ def _mlp_act8(x, blk):
 
 def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
            fused_attention: Optional[bool] = None,
-           act_int8: Optional[bool] = None):
+           act_int8: Optional[bool] = None,
+           fused_quant: Optional[bool] = None):
     """mel: (B, n_mels, 3000) -> hidden states (B, 1500, d_model).
 
     ``act_int8=None`` auto-enables s8 x s8 block matmuls when the
@@ -289,6 +338,11 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
     is active (inference path); pass False to force bf16 compute on
     quantized weights.  Training params are unquantized, so the
     training path never takes it.
+
+    ``fused_quant=None`` auto-enables the one-pass Pallas producer +
+    quantize kernels (ln_quant / add_ln_quant / gelu_quant / quant_only,
+    ops.encoder_fused_pallas) whenever act_int8 is active; pass False
+    to keep the XLA quantize chains (A/B knob).
     """
     enc = params["encoder"]
     x = jnp.swapaxes(mel, 1, 2)  # NWC
@@ -340,12 +394,29 @@ def encode(params: Params, cfg: WhisperConfig, mel, *, remat: bool = False,
         raise ValueError("act_int8 needs quantized weights and the merged "
                          "attention kernel")
 
+    fq = act8 if fused_quant is None else (fused_quant and act8)
+
     def block(x, blk):
-        h = _ln(x, blk["ln1_s"], blk["ln1_b"])
-        if act8:
+        if fq:
+            # one-pass producer+quantize kernels: the layernorms, the
+            # residual add, the attention-output quantize and the GELU
+            # each fuse with their dynamic int8 quantization — one HBM
+            # read/write per activation tensor instead of 2-3
+            # (ops.encoder_fused_pallas; bit-parity tests in
+            # tests/test_encoder_fused.py)
+            from ttasr.ops.encoder_fused_pallas import add_ln_quant, ln_quant
+
+            q1, s1 = ln_quant(x, blk["ln1_s"], blk["ln1_b"])
+            attn = _self_attn_act8(x, blk, cfg.encoder_heads, t_real,
+                                   x_quant=(q1, s1), fused_quant=True)
+            x, q2, s2 = add_ln_quant(x, attn, blk["ln2_s"], blk["ln2_b"])
+            x = x + _mlp_act8(x, blk, x_quant=(q2, s2), fused_quant=True)
+        elif act8:
+            h = _ln(x, blk["ln1_s"], blk["ln1_b"])
             x = x + _self_attn_act8(h, blk, cfg.encoder_heads, t_real)
             x = x + _mlp_act8(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
         else:
+            h = _ln(x, blk["ln1_s"], blk["ln1_b"])
             x = x + _self_attn(h, blk, cfg.encoder_heads, fused=fused,
                                t_real=t_real)
             x = x + _mlp(_ln(x, blk["ln2_s"], blk["ln2_b"]), blk)
