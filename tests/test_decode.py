@@ -226,7 +226,7 @@ def test_bucketed_growth_consistency(model, enc_out):
     bucketed = beam_decode(params, cfg, enc, prompt, pad, key,
                            opts=opts, ti=_ti())
     orig = D._growth_buckets
-    D._growth_buckets = lambda mp, sl: [mp + sl]
+    D._growth_buckets = lambda mp, sl, min_cap=32: [mp + sl]
     try:
         flat = beam_decode.__wrapped__(params, cfg, enc, prompt, pad, key,
                                        opts=opts, ti=_ti())
