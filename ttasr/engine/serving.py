@@ -77,6 +77,42 @@ def window_bucket(n_samples: int) -> int:
     return N_SAMPLES
 
 
+_DECODE_POOL = None
+_DECODE_POOL_LOCK = threading.Lock()
+
+
+def _decode_pool():
+    """Dedicated decode executor whose worker threads get a 64 MB stack.
+
+    ``_decode_batch`` triggers XLA compilation from the worker thread on
+    a cache miss, and the LLVM pipeline behind the CPU backend recurses
+    deeply on the big beam-decode program — deep enough to overflow the
+    8 MB default pthread stack of pool threads (observed as a SIGSEGV in
+    ``backend_compile_and_load`` during full-suite runs; the main
+    thread's larger stack never hits it).  Threads are forced into
+    existence here, while the enlarged stack size is in effect, because
+    ThreadPoolExecutor otherwise spawns them lazily at submit time.
+    """
+    global _DECODE_POOL
+    with _DECODE_POOL_LOCK:
+        if _DECODE_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = 4
+            old = threading.stack_size(64 * 1024 * 1024)
+            try:
+                pool = ThreadPoolExecutor(
+                    max_workers=workers, thread_name_prefix="ttasr-decode")
+                barrier = threading.Barrier(workers + 1)
+                for _ in range(workers):
+                    pool.submit(barrier.wait)
+                barrier.wait()
+            finally:
+                threading.stack_size(old)
+            _DECODE_POOL = pool
+    return _DECODE_POOL
+
+
 @dataclasses.dataclass
 class WindowRequest:
     audio: np.ndarray                  # <= 30 s float32 mono 16 kHz
@@ -573,7 +609,8 @@ class BatchServer:
             # dispatch NOW (host pack + upload + program dispatch run in
             # the executor while the previous group computes), fetch the
             # previous group's results after
-            fut = loop.run_in_executor(None, self._decode_batch, group)
+            fut = loop.run_in_executor(_decode_pool(), self._decode_batch,
+                                       group)
             if prev_fut is not None:
                 await self._finish(prev_group, prev_fut)
             prev_group, prev_fut = group, fut
